@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine: ``datasketches_rust_spark`` — PySpark-native near-duplicate
+detection + mergeable-sketch analytics (see SURVEY.md §2).
 """
 
 from __future__ import annotations
@@ -12,27 +14,181 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datasketches_rust_spark.config import DedupConfig, ThetaConfig
+from datasketches_rust_spark.operators.dedup import near_dup_text_clusters
+from datasketches_rust_spark.operators.signatures import simhash_col
+from datasketches_rust_spark.config import SimHashConfig
+from datasketches_rust_spark.operators.sketch_aggs import (
+    frequent_items_by_count,
+    theta_distinct_by_key,
+    theta_distinct_global,
+    theta_intersect_groups,
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-dup clustering of sf0.001 documents (MinHash →
+    LSH banding → verified pairs → connected components)."""
+    docs = _read(spark, "/root/testdata/sf0.001", "documents")
+    return near_dup_text_clusters(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# queries — one per implemented operator (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def _q_neardup_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return near_dup_text_clusters(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.col("cluster_id")
+    )
+
+
+def _q_theta_distinct_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    out = theta_distinct_by_key(cust, "c_nationkey", "c_custkey", ThetaConfig(lg_k=15))
+    return out.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("distinct_estimate").cast("long").alias("distinct_custkeys"),
+    )
+
+
+def _q_theta_union_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    out = theta_distinct_global(orders, "o_custkey", ThetaConfig(lg_k=15))
+    return out.select(F.col("distinct_estimate").cast("long").alias("distinct_custkeys"))
+
+
+def _q_theta_intersect_even_odd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    keyed = orders.select("o_custkey", (F.col("o_orderkey") % 2 == 0).alias("even"))
+    out = theta_intersect_groups(keyed, "o_custkey", "even", ThetaConfig(lg_k=15))
+    return out.select(
+        F.col("intersection_estimate").cast("long").alias("custkeys_in_both")
+    )
+
+
+def _q_frequent_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _read(spark, sf_dir, "part")
+    out = frequent_items_by_count(part, "p_brand", max_map_size=256)
+    return out.select(
+        F.col("p_brand").alias("brand"),
+        F.col("est_count"),
+        F.col("lower_bound"),
+        F.col("upper_bound"),
+    )
+
+
+def _q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_alpha.alias("n_alpha"),
+        (n_alpha.cast("double") / F.length("text").cast("double")).alias("alpha_ratio"),
+        (F.length("text").cast("double") / n_tokens.cast("double")).alias("avg_token_span"),
+    )
+
+
+def _q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_col("text", SimHashConfig()).alias("simhash"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "neardup_text_clusters": _q_neardup_text_clusters,
+        "theta_distinct_by_nation": _q_theta_distinct_by_nation,
+        "theta_union_orders": _q_theta_union_orders,
+        "theta_intersect_even_odd": _q_theta_intersect_even_odd,
+        "frequent_brands": _q_frequent_brands,
+        "exact_dedup_documents": _q_exact_dedup_documents,
+        "token_counts": _q_token_counts,
+        "text_quality": _q_text_quality,
+        "simhash_documents": _q_simhash_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # exact-regime sketch queries (theta exact mode == COUNT DISTINCT,
+        # `theta/sketch.rs:164-171`; MG exact below 0.75*M distinct,
+        # `frequencies/mod.rs:43-63`)
+        "theta_distinct_by_nation": """
+            SELECT c_nationkey AS nationkey,
+                   COUNT(DISTINCT c_custkey) AS distinct_custkeys
+            FROM customer GROUP BY c_nationkey
+        """,
+        "theta_union_orders": """
+            SELECT COUNT(DISTINCT o_custkey) AS distinct_custkeys FROM orders
+        """,
+        "theta_intersect_even_odd": """
+            SELECT COUNT(*) AS custkeys_in_both FROM (
+                SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+                INTERSECT
+                SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1
+            )
+        """,
+        "frequent_brands": """
+            SELECT p_brand AS brand,
+                   COUNT(*) AS est_count,
+                   COUNT(*) AS lower_bound,
+                   COUNT(*) AS upper_bound
+            FROM part GROUP BY p_brand
+        """,
+        "exact_dedup_documents": """
+            SELECT md5(text) AS text_md5,
+                   COUNT(*) AS dup_count,
+                   MIN(doc_id) AS canonical_doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+                       / length(text)::DOUBLE AS alpha_ratio,
+                   length(text)::DOUBLE
+                       / len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE
+                       AS avg_token_span
+            FROM documents
+        """,
+        # neardup_text_clusters / simhash_documents: murmur-seeded LSH +
+        # CC — not SQL-expressible; driver records rows-only checks,
+        # pytest covers them against the NumPy oracle.
+    }

@@ -1,0 +1,88 @@
+"""SimHash kernels — 64-bit similarity-preserving bit vectors.
+
+Two variants, per the north rule:
+
+* ``simhash_tokens``: token-frequency-weighted SimHash over text
+  (captions). Each distinct token's murmur3 h1 (seed 9001, theta
+  convention `hash_table.rs:123-128`) votes its count on each of the
+  64 bit positions; bit = sign of the vote sum. Hamming distance then
+  approximates angular distance between the token-count vectors.
+* ``simhash_pixels``: random-hyperplane SimHash over an 8x8
+  grayscale downscale (64-dim feature); hyperplanes drawn from a PRNG
+  seeded by the config seed — deterministic across runs/partitions.
+
+The bit-vector union/intersection machinery mirrors the reference
+bloom bit ops (`datasketches/src/bloom/sketch.rs:174-253`) in spirit:
+fixed-width word-wise operations, vectorized with NumPy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import SimHashConfig
+from ..hashes import pack_bytes, theta_hash_bytes
+
+_U64 = np.uint64
+_BITS = np.arange(64, dtype=np.uint64)
+
+
+def simhash_tokens(texts: list[str], cfg: SimHashConfig) -> np.ndarray:
+    """(n,) uint64 token SimHash. Empty/null texts hash to 0."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    token_lists = [t.lower().split() if t else [] for t in texts]
+    counts = np.fromiter((len(t) for t in token_lists), np.int64, n)
+    all_tokens = [tok.encode("utf-8") for toks in token_lists for tok in toks]
+    if not all_tokens:
+        return out
+    buf, starts, lengths = pack_bytes(all_tokens)
+    th = theta_hash_bytes(buf, starts, lengths, cfg.seed)
+    # per-token ±1 votes for each of 64 bits → segment-sum per row
+    bits = ((th[:, None] >> _BITS) & _U64(1)).astype(np.int64)  # (T, 64)
+    votes = bits * 2 - 1
+    row_splits = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_splits[1:])
+    nonempty = counts > 0
+    sums = np.add.reduceat(votes, row_splits[:-1][nonempty], axis=0)
+    sig_bits = (sums > 0).astype(np.uint64)
+    out[nonempty] = (sig_bits << _BITS).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def simhash_vectors(vecs: np.ndarray, cfg: SimHashConfig) -> np.ndarray:
+    """(n,) uint64 random-hyperplane SimHash of float vectors (n, d)."""
+    planes = cfg.hyperplanes(vecs.shape[1])  # (64, d)
+    proj = vecs @ planes.T  # (n, 64)
+    bits = (proj > 0).astype(np.uint64)
+    return (bits << _BITS).sum(axis=1, dtype=np.uint64)
+
+
+def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Rowwise popcount(a ^ b) — vectorized 64-bit Hamming distance."""
+    x = (a ^ b).view(np.uint64)
+    return np.bitwise_count(x).astype(np.int64) if hasattr(np, "bitwise_count") else _popcount64(x)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x - ((x >> _U64(1)) & _U64(0x5555555555555555))
+    x = (x & _U64(0x3333333333333333)) + ((x >> _U64(2)) & _U64(0x3333333333333333))
+    x = (x + (x >> _U64(4))) & _U64(0x0F0F0F0F0F0F0F0F)
+    return ((x * _U64(0x0101010101010101)) >> _U64(56)).astype(np.int64)
+
+
+def hamming_chunks(h: np.ndarray, cfg: SimHashConfig) -> np.ndarray:
+    """(n, num_chunks) int64 chunk keys for Hamming-LSH banding.
+
+    Splitting 64 bits into ``c`` chunks guarantees any pair within
+    Hamming distance ``c - 1`` shares at least one identical chunk
+    (pigeonhole) — the SimHash analog of MinHash banding.
+    """
+    c = cfg.num_chunks
+    width = 64 // c
+    mask = _U64((1 << width) - 1)
+    out = np.empty((len(h), c), dtype=np.int64)
+    hu = h.view(np.uint64) if h.dtype != np.uint64 else h
+    for j in range(c):
+        out[:, j] = ((hu >> _U64(j * width)) & mask).astype(np.int64)
+    return out

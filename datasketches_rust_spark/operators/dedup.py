@@ -1,0 +1,143 @@
+"""End-to-end near-duplicate detection pipelines (the north rule).
+
+``near_dup_text_clusters``: caption/text MinHash + LSH → candidate
+pairs → signature-Jaccard verification → connected components →
+``(id, cluster_id)``. Every row of the input appears in the output;
+non-duplicates form singleton clusters labeled by their own id.
+
+``near_dup_image_clusters``: phash/SimHash Hamming-LSH over image
+signatures, same downstream topology.
+
+``near_dup_multimodal_clusters``: union of the text and image edge
+sets before a single connected-components pass — an image pair OR a
+caption pair links two rows (the reference-pipeline semantics from
+BASELINE.json north_star).
+
+Plan shape (what ``.explain`` should show at every scale):
+
+  scan → project(signature UDF, one pass)           [no shuffle]
+  → posexplode bands                                [no shuffle]
+  → hash agg by (band_id, band_key) + pair emit     [shuffle 1]
+  → hash agg distinct pairs                         [shuffle 2]
+  → join pairs×signatures ×2 (verification)         [shuffle 3, 4]
+  → CC iterations (join + min-agg per round)        [1 shuffle/round]
+
+The signature frame is checkpointed before fan-out so banding and the
+two verification joins share one computed lineage (signatures are the
+expensive stage; recomputing them 3× would triple UDF time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+from .connected_components import connected_components
+from .lsh import candidate_pairs, explode_bands
+from .signatures import jaccard_from_signatures, minhash_signature_col
+
+
+def text_signatures(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> DataFrame:
+    """(id, signature, bands) — one vectorized-UDF pass."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature_col(text_col, cfg.minhash).alias("s"),
+    ).select("_id", F.col("s.signature").alias("signature"), F.col("s.bands").alias("bands"))
+
+
+def verified_text_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Candidate pairs surviving the signature-Jaccard filter.
+
+    Chained pairs (over-cap buckets: all ``rows_per_band`` slots
+    already collide) skip verification by construction — see
+    operators/lsh.py.
+    """
+    banded = explode_bands(sigs, "_id")
+    pairs = candidate_pairs(banded, cfg)
+    sig_only = sigs.select("_id", "signature")
+    verified = (
+        pairs.join(sig_only.withColumnRenamed("_id", "a").withColumnRenamed("signature", "sig_a"), on="a")
+        .join(sig_only.withColumnRenamed("_id", "b").withColumnRenamed("signature", "sig_b"), on="b")
+        .withColumn("jaccard_est", jaccard_from_signatures("sig_a", "sig_b"))
+        .filter(
+            (F.col("chained") == 1)
+            | (F.col("jaccard_est") >= F.lit(cfg.minhash.jaccard_threshold))
+        )
+        .select("a", "b", "jaccard_est")
+    )
+    return verified
+
+
+def assign_clusters(all_ids: DataFrame, edges: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(id, cluster_id) for every input id; singletons label themselves."""
+    comp = connected_components(edges, "a", "b", cfg.max_cc_iterations)
+    return (
+        all_ids.join(comp, on="id", how="left")
+        .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
+    )
+
+
+def near_dup_text_clusters(
+    df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig | None = None
+) -> DataFrame:
+    """Flagship pipeline: text near-dup clustering → (id, cluster_id)."""
+    cfg = cfg or DedupConfig()
+    sigs = text_signatures(df, id_col, text_col, cfg).localCheckpoint(eager=True)
+    edges = verified_text_pairs(sigs, cfg)
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return assign_clusters(all_ids, edges, cfg)
+
+
+def near_dup_image_pairs(df: DataFrame, id_col: str, phash_col: str, cfg: DedupConfig) -> DataFrame:
+    """Hamming-LSH candidate pairs over a 64-bit perceptual-hash column.
+
+    Chunk banding: 64 bits → ``num_chunks`` chunks; pigeonhole
+    guarantees recall 1.0 for Hamming distance <= num_chunks − 1.
+    Verification = exact popcount via the built-in ``bit_count``
+    (JVM-side, codegen) — no UDF in the verify path.
+    """
+    c = cfg.simhash.num_chunks
+    width = 64 // c
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.shiftrightunsigned(F.col(phash_col), j * width).bitwiseAND(F.lit(mask)).alias("band_key"),
+            )
+            for j in range(c)
+        ]
+    )
+    banded = (
+        df.select(F.col(id_col).alias("_id"), F.col(phash_col).alias("_ph"), F.explode(chunks).alias("ch"))
+        .select("_id", "_ph", F.col("ch.band_id").alias("band_id"), F.col("ch.band_key").alias("band_key"))
+    )
+    pairs = candidate_pairs(banded.select("_id", "band_id", "band_key"), cfg)
+    ph = df.select(F.col(id_col).alias("_id"), F.col(phash_col).alias("_ph"))
+    return (
+        pairs.join(ph.withColumnRenamed("_id", "a").withColumnRenamed("_ph", "ph_a"), on="a")
+        .join(ph.withColumnRenamed("_id", "b").withColumnRenamed("_ph", "ph_b"), on="b")
+        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .filter(F.col("hamming") <= F.lit(cfg.simhash.hamming_threshold))
+        .select("a", "b", "hamming")
+    )
+
+
+def near_dup_multimodal_clusters(
+    df: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+    cfg: DedupConfig | None = None,
+) -> DataFrame:
+    """North-rule pipeline over the image+caption table (input_hint
+    schema): caption-MinHash edges ∪ phash-Hamming edges → one CC pass.
+    """
+    cfg = cfg or DedupConfig()
+    sigs = text_signatures(df, id_col, caption_col, cfg).localCheckpoint(eager=True)
+    text_edges = verified_text_pairs(sigs, cfg).select("a", "b")
+    image_edges = near_dup_image_pairs(df, id_col, phash_col, cfg).select("a", "b")
+    edges = text_edges.union(image_edges)
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return assign_clusters(all_ids, edges, cfg)

@@ -1,0 +1,168 @@
+"""Mergeable-sketch aggregations as two-phase Spark operators.
+
+Mirrors the reference's merge contract (commutative + associative +
+order-insensitive, SURVEY.md §3.2) as Spark's partial/final
+aggregation:
+
+  phase 1 — ``mapInPandas`` over raw partitions → per-partition
+            serialized sketch state (BinaryType), NO shuffle;
+  phase 2 — ``groupBy(key).applyInPandas`` merge of partials →
+            estimates, ONE shuffle of tiny sketch blobs instead of raw
+            rows.
+
+At 100 TB this is the difference between shuffling 10^12 raw keys and
+shuffling |keys| × |partitions| sketch blobs of ≤ 8·k bytes — the
+exact reason the reference makes every sketch mergeable
+(`datasketches/src/hll/union.rs:79-151` etc.).
+
+The serialized partial is the reference-v3-compatible compact theta
+layout (functions/theta.py), so the shuffle payload doubles as the
+checkpoint format.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import ThetaConfig
+from ..functions.frequencies import FrequentItemsSketch
+from ..functions.theta import ThetaSketch, theta_intersect, theta_union
+
+
+def _sketch_values(vals: pd.Series, cfg: ThetaConfig) -> ThetaSketch:
+    arr = vals.dropna().to_numpy()
+    if arr.dtype.kind in ("i", "u"):
+        return ThetaSketch.from_u64s(arr.astype(np.int64).view(np.uint64), cfg)
+    return ThetaSketch.from_strings([str(v) for v in arr], cfg)
+
+
+def theta_partial_sketches(
+    df: DataFrame, key_col: str, item_col: str, cfg: ThetaConfig
+) -> DataFrame:
+    """Phase 1: (key, partial sketch binary) per (arrow batch × key)."""
+    key_type = dict(df.dtypes)[key_col]
+    schema = f"{key_col} {key_type}, sketch binary"
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, blobs = [], []
+            for k, vals in pdf.groupby(key_col, sort=False)[item_col]:
+                keys.append(k)
+                blobs.append(_sketch_values(vals, cfg).serialize())
+            yield pd.DataFrame({key_col: keys, "sketch": blobs})
+
+    return df.select(key_col, item_col).mapInPandas(partial, schema)
+
+
+def theta_distinct_by_key(
+    df: DataFrame, key_col: str, item_col: str, cfg: ThetaConfig | None = None
+) -> DataFrame:
+    """approx/exact COUNT(DISTINCT item) BY key via theta sketches.
+
+    Exact (== COUNT DISTINCT, oracle-checkable) while per-key distinct
+    count ≤ k (`theta/sketch.rs:164-171` exact mode).
+    Returns (key, distinct_estimate double).
+    """
+    cfg = cfg or ThetaConfig()
+    partials = theta_partial_sketches(df, key_col, item_col, cfg)
+    key_type = dict(df.dtypes)[key_col]
+    schema = f"{key_col} {key_type}, distinct_estimate double"
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = theta_union([ThetaSketch.deserialize(b, cfg) for b in pdf["sketch"]])
+        return pd.DataFrame({key_col: [key[0]], "distinct_estimate": [sk.estimate()]})
+
+    return partials.groupBy(key_col).applyInPandas(merge, schema)
+
+
+def theta_distinct_global(
+    df: DataFrame, item_col: str, cfg: ThetaConfig | None = None
+) -> DataFrame:
+    """Global distinct count: partial per partition → single final merge."""
+    cfg = cfg or ThetaConfig()
+    with_key = df.select(F.lit(0).alias("_g"), F.col(item_col))
+    return theta_distinct_by_key(with_key, "_g", item_col, cfg).select("distinct_estimate")
+
+
+def theta_intersect_groups(
+    df: DataFrame,
+    item_col: str,
+    split_col: str,
+    cfg: ThetaConfig | None = None,
+) -> DataFrame:
+    """Distinct items present in BOTH halves of a boolean split.
+
+    Builds one sketch per side (two-phase) and intersects
+    (`theta/intersection.rs:64-196` semantics). Exact while each
+    side's distinct count ≤ k. Returns (intersection_estimate double).
+    """
+    cfg = cfg or ThetaConfig()
+    keyed = df.select(F.col(split_col).cast("int").alias("_side"), F.col(item_col))
+    partials = theta_partial_sketches(keyed, "_side", item_col, cfg)
+
+    def merge_all(pdfs: pd.DataFrame) -> pd.DataFrame:
+        sides = {}
+        for side, grp in pdfs.groupby("_side")["sketch"]:
+            sides[side] = theta_union([ThetaSketch.deserialize(b, cfg) for b in grp])
+        if len(sides) < 2:
+            est = 0.0
+        else:
+            est = theta_intersect(sides[0], sides[1]).estimate()
+        return pd.DataFrame({"intersection_estimate": [est]})
+
+    # final stage: all (≤ 2 × partitions) tiny blobs to one task
+    return (
+        partials.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(lambda _k, p: merge_all(p), "intersection_estimate double")
+        .select("intersection_estimate")
+    )
+
+
+def frequent_items_by_count(
+    df: DataFrame, item_col: str, max_map_size: int = 256
+) -> DataFrame:
+    """Heavy hitters via two-phase Misra-Gries.
+
+    Exact (== GROUP BY count, oracle-checkable) while distinct items
+    < 0.75 * max_map_size (`frequencies/mod.rs:43-63`).
+    Returns (item, est_count, lower_bound, upper_bound).
+    """
+    item_type = dict(df.dtypes)[item_col]
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = FrequentItemsSketch(max_map_size)
+        for pdf in batches:
+            sk.update_batch(pdf[item_col])
+        yield pd.DataFrame({"sketch": [sk.serialize()]})
+
+    partials = df.select(item_col).mapInPandas(partial, "sketch binary")
+
+    def merge(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = FrequentItemsSketch(max_map_size)
+        for b in pdf["sketch"]:
+            sk.merge(FrequentItemsSketch.deserialize(bytes(b)))
+        rows = sk.frequent_items(threshold=-1 if sk.is_exact() else None)
+        return pd.DataFrame(
+            {
+                item_col: [r[0] for r in rows],
+                "est_count": [r[1] for r in rows],
+                "lower_bound": [r[2] for r in rows],
+                "upper_bound": [r[3] for r in rows],
+            }
+        )
+
+    out_schema = f"{item_col} string, est_count long, lower_bound long, upper_bound long"
+    out = (
+        partials.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(merge, out_schema)
+    )
+    if item_type != "string":
+        out = out.withColumn(item_col, F.col(item_col).cast(item_type))
+    return out

@@ -1,0 +1,154 @@
+"""Golden-vector tests for the hash kernels.
+
+Vectors copied verbatim from the reference test modules:
+murmur3 `datasketches/src/hash/murmurhash.rs:189-231`,
+xxhash64 `datasketches/src/hash/xxhash.rs:200-236`,
+seed-hash `datasketches/src/hash/mod.rs:47-56`.
+"""
+
+import numpy as np
+import pytest
+
+from datasketches_rust_spark.hashes import (
+    compute_seed_hash,
+    murmur3_x64_128,
+    murmur3_x64_128_arr,
+    murmur3_x64_128_u64s,
+    pack_bytes,
+    theta_hash_u64s,
+    xxhash64,
+    xxhash64_arr,
+    xxhash64_u64s,
+)
+
+MURMUR_VECTORS = [
+    (b"The quick brown fox jumps over the lazy dog", 0, 0xE34BBC7BBC071B6C, 0x7A433CA9C49A9347),
+    (b"The quick brown fox jumps over the lazy eog", 0, 0x362108102C62D1C9, 0x3285CD100292B305),
+    (b"The quick brown fox jumps over the lazy dogdogdog", 0, 0x9C8205300E612FC4, 0xCBC0AF6136AA3DF9),
+    (b"The quick brown fox jumps over the lazy1", 0, 0xE3301A827E5CDFE3, 0xBDBF05F8DA0F0392),
+    (b"The quick brown fox jumps over t", 0, 0xDF6AF91BB29BDACF, 0x91A341C58DF1F3A6),
+    (
+        bytes(
+            [0x54, 0x68, 0x65, 0x20, 0x71, 0x75, 0x69, 0x63, 0x6B, 0x20, 0x62, 0x72,
+             0x6F, 0x77, 0x6E, 0x20, 0x66, 0x6F, 0x78, 0x20, 0x6A, 0x75, 0x6D, 0x70,
+             0x73, 0x20, 0x6F, 0x76, 0x65, 0x72, 0x20, 0x74, 0x68, 0x65, 0x20, 0x6C,
+             0x61, 0x7A, 0x79, 0x20, 0x64, 0x6F, 0x67, 0xFF, 0x64, 0x6F, 0x67, 0x00]
+        ),
+        0,
+        0xE88ABDA785929C9E,
+        0x96B98587CACC83D6,
+    ),
+]
+
+
+def _xx_test_buffer(length: int) -> bytes:
+    # `xxhash.rs:203-212`
+    out = bytearray(length)
+    gen = 0x9E3779B1
+    for i in range(length):
+        out[i] = (gen >> 56) & 0xFF
+        gen = (gen * 0x9E3779B185EBCA8D) & ((1 << 64) - 1)
+    return bytes(out)
+
+
+XX_BUF = _xx_test_buffer(101)
+XX_VECTORS = [
+    (0, 0, 0xEF46DB3751D8E999),
+    (1, 0, 0xE934A84ADB052768),
+    (32, 0, 0x18B216492BB44B70),
+    (33, 0, 0x55C8DC3E578F5B59),
+    (100, 0, 0x4BFE019CD91D9EA4),
+    (0, 0x9E3779B1, 0xAC75FDA2929B17EF),
+    (1, 0x9E3779B1, 0x5014607643A9B4C3),
+    (32, 0x9E3779B1, 0xB3F33BDF93ADE409),
+    (100, 0x9E3779B1, 0x4853706DC9625CAE),
+]
+
+
+@pytest.mark.parametrize("key,seed,h1,h2", MURMUR_VECTORS)
+def test_murmur_scalar_golden(key, seed, h1, h2):
+    assert murmur3_x64_128(key, seed) == (h1, h2)
+
+
+def test_murmur_vectorized_golden():
+    keys = [k for k, _, _, _ in MURMUR_VECTORS]
+    buf, starts, lengths = pack_bytes(keys)
+    h1, h2 = murmur3_x64_128_arr(buf, starts, lengths, seed=0)
+    for i, (_, _, e1, e2) in enumerate(MURMUR_VECTORS):
+        assert int(h1[i]) == e1
+        assert int(h2[i]) == e2
+
+
+def test_murmur_vectorized_matches_scalar_random():
+    rng = np.random.default_rng(9001)
+    keys = [bytes(rng.integers(0, 256, size=int(n), dtype=np.uint8)) for n in rng.integers(0, 130, 200)]
+    buf, starts, lengths = pack_bytes(keys)
+    for seed in (0, 9001, 0xDEADBEEF):
+        h1, h2 = murmur3_x64_128_arr(buf, starts, lengths, seed=seed)
+        for i, k in enumerate(keys):
+            e1, e2 = murmur3_x64_128(k, seed)
+            assert (int(h1[i]), int(h2[i])) == (e1, e2), (i, len(k), seed)
+
+
+def test_murmur_u64_fast_path():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1 << 63, size=100, dtype=np.uint64)
+    h1, h2 = murmur3_x64_128_u64s(vals, seed=9001)
+    for i, v in enumerate(vals):
+        e1, e2 = murmur3_x64_128(int(v).to_bytes(8, "little"), 9001)
+        assert (int(h1[i]), int(h2[i])) == (e1, e2)
+    th = theta_hash_u64s(vals, seed=9001)
+    assert (th == (h1 >> np.uint64(1))).all()
+
+
+@pytest.mark.parametrize("length,seed,expected", XX_VECTORS)
+def test_xxhash_scalar_golden(length, seed, expected):
+    assert xxhash64(XX_BUF[:length], seed) == expected
+
+
+def test_xxhash_vectorized_golden():
+    keys = [XX_BUF[:n] for n, s, _ in XX_VECTORS if s == 0]
+    buf, starts, lengths = pack_bytes(keys)
+    h = xxhash64_arr(buf, starts, lengths, seed=0)
+    exp = [e for _, s, e in XX_VECTORS if s == 0]
+    assert [int(x) for x in h] == exp
+
+
+def test_xxhash_vectorized_matches_scalar_random():
+    rng = np.random.default_rng(42)
+    keys = [bytes(rng.integers(0, 256, size=int(n), dtype=np.uint8)) for n in rng.integers(0, 200, 300)]
+    buf, starts, lengths = pack_bytes(keys)
+    for seed in (0, 9001):
+        h = xxhash64_arr(buf, starts, lengths, seed=seed)
+        for i, k in enumerate(keys):
+            assert int(h[i]) == xxhash64(k, seed), (i, len(k), seed)
+
+
+def test_xxhash_u64_fast_path():
+    # parity with `XxHash64::hash_u64` == xxhash64 of the 8 LE bytes
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1 << 63, size=64, dtype=np.uint64)
+    seeds = rng.integers(0, 1 << 63, size=64, dtype=np.uint64)
+    h = xxhash64_u64s(vals, seeds)
+    for i in range(len(vals)):
+        assert int(h[i]) == xxhash64(int(vals[i]).to_bytes(8, "little"), int(seeds[i]))
+
+
+def test_seed_hash():
+    sh = compute_seed_hash(9001)
+    assert 0 < sh < (1 << 16)
+    with pytest.raises(ValueError):
+        # find nothing special: seed 0 is fine; the error path needs a
+        # seed whose murmur h1 low 16 bits are zero — brute-forced below
+        compute_seed_hash(_ZERO_SEED_HASH_SEED)
+
+
+def _find_zero_seed() -> int:
+    for s in range(200000):
+        h1, _ = murmur3_x64_128(s.to_bytes(8, "little"), 0)
+        if h1 & 0xFFFF == 0:
+            return s
+    pytest.skip("no zero-seed-hash seed found in range")
+
+
+_ZERO_SEED_HASH_SEED = _find_zero_seed()

@@ -1,0 +1,136 @@
+"""MinHash kernel tests: vectorized kernel vs single-threaded oracle,
+merge laws, banding determinism."""
+
+import numpy as np
+import pytest
+
+from datasketches_rust_spark.config import MinHashConfig
+from datasketches_rust_spark.functions.minhash import (
+    EMPTY_SLOT,
+    band_hashes,
+    estimate_jaccard,
+    merge_signatures,
+    minhash_signatures,
+    shingle_hashes,
+)
+from datasketches_rust_spark.hashes import MASK64, murmur3_x64_128
+
+CFG = MinHashConfig()
+
+
+def oracle_shingles(text: str, cfg: MinHashConfig) -> list[int]:
+    toks = text.lower().split()
+    if not toks:
+        return []
+    th = [(murmur3_x64_128(t.encode(), cfg.seed)[0] >> 1) for t in toks]
+    if len(toks) < cfg.shingle_k:
+        groups = [th]
+    else:
+        groups = [th[i : i + cfg.shingle_k] for i in range(len(toks) - cfg.shingle_k + 1)]
+    out = []
+    for g in groups:
+        b = b"".join(int(x).to_bytes(8, "little") for x in g)
+        out.append(murmur3_x64_128(b, cfg.seed)[0] >> 1)
+    return out
+
+
+def oracle_signature(text: str, cfg: MinHashConfig) -> list[int]:
+    sh = oracle_shingles(text, cfg)
+    if not sh:
+        return [int(EMPTY_SLOT)] * cfg.num_perm
+    a, b = cfg.permutations()
+    return [
+        min((int(a[i]) * x + int(b[i])) & MASK64 for x in sh) for i in range(cfg.num_perm)
+    ]
+
+
+TEXTS = [
+    "The quick brown Fox jumps over the lazy dog",
+    "the quick brown fox jumped over a lazy dog",
+    "a b",
+    "",
+    "completely different sentence about spark aggregation physics",
+    "solo",
+    "one two three four five six seven eight nine ten",
+]
+
+
+def test_shingles_match_oracle():
+    flat, splits = shingle_hashes(TEXTS, CFG)
+    for i, t in enumerate(TEXTS):
+        got = [int(x) for x in flat[splits[i] : splits[i + 1]]]
+        assert got == oracle_shingles(t, CFG), i
+
+
+def test_signatures_match_oracle():
+    sigs = minhash_signatures(TEXTS, CFG)
+    for i, t in enumerate(TEXTS):
+        assert [int(x) for x in sigs[i]] == oracle_signature(t, CFG), i
+
+
+def test_signature_order_insensitive_merge():
+    # signature(A ∪ B) == min(signature(A), signature(B)) — the
+    # partial/final aggregation law (theta-union analog, SURVEY §A.2)
+    a = "spark shuffles data between stages during wide transformations"
+    b = "catalyst optimizes logical plans into efficient physical plans"
+    sig_a = minhash_signatures([a], CFG)[0]
+    sig_b = minhash_signatures([b], CFG)[0]
+    sig_ab = minhash_signatures([a + " " + b], CFG)[0]
+    # not exactly equal (shingles cross the boundary) but merge law holds:
+    merged = merge_signatures(sig_a, sig_b)
+    assert (merge_signatures(sig_b, sig_a) == merged).all()
+    assert (merge_signatures(merged, merged) == merged).all()
+    del sig_ab
+
+
+def test_jaccard_estimate_tracks_true_jaccard():
+    cfg = MinHashConfig(num_perm=256, bands=32, rows_per_band=8)
+    a = "the cat sat on the mat and looked at the dog in the yard all day"
+    b = "the cat sat on the mat and looked at the dog in the garden all day"
+    sa = set(oracle_shingles(a, cfg))
+    sb = set(oracle_shingles(b, cfg))
+    true_j = len(sa & sb) / len(sa | sb)
+    sigs = minhash_signatures([a, b], cfg)
+    est = float(estimate_jaccard(sigs[:1], sigs[1:2])[0])
+    assert abs(est - true_j) < 0.2
+
+
+def test_band_hashes_deterministic_and_identical_for_identical_sigs():
+    sigs = minhash_signatures(TEXTS, CFG)
+    bh1 = band_hashes(sigs, CFG)
+    bh2 = band_hashes(sigs.copy(), CFG)
+    assert (bh1 == bh2).all()
+    assert bh1.shape == (len(TEXTS), CFG.bands)
+    # identical texts → identical signatures → all bands collide
+    dup = minhash_signatures(["same text here please", "same text here please"], CFG)
+    bd = band_hashes(dup, CFG)
+    assert (bd[0] == bd[1]).all()
+    # empty text → sentinel band keys
+    empty_row = TEXTS.index("")
+    assert (bh1[empty_row] == EMPTY_SLOT).all()
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        MinHashConfig(num_perm=128, bands=10, rows_per_band=10)
+
+
+def test_batch_equals_per_row():
+    # batch kernel == one-row-at-a-time kernel (no cross-row leakage)
+    whole = minhash_signatures(TEXTS, CFG)
+    for i, t in enumerate(TEXTS):
+        single = minhash_signatures([t], CFG)[0]
+        assert (whole[i] == single).all(), i
+
+
+def test_near_dup_pair_recall_high_jaccard():
+    rng = np.random.default_rng(123)
+    vocab = [f"tok{i}" for i in range(50)]
+    base = " ".join(rng.choice(vocab, 40))
+    toks = base.split()
+    toks[5] = "altered"
+    variant = " ".join(toks)
+    sigs = minhash_signatures([base, variant], CFG)
+    bh = band_hashes(sigs, CFG)
+    # high-jaccard pair must share at least one band (b=32, r=4)
+    assert (bh[0] == bh[1]).any()
