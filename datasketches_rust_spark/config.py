@@ -112,8 +112,10 @@ class DedupConfig:
     simhash: SimHashConfig = field(default_factory=SimHashConfig)
     # LSH shuffle topology
     band_partitions: int = 32
-    # hot-band salting: buckets larger than this are capped per salt group
-    max_bucket_size: int = 1000
+    # buckets larger than this emit O(m) chain pairs instead of the
+    # O(m²) clique (operators/lsh.py); 256 caps the per-bucket pair
+    # array at ~32k structs
+    max_bucket_size: int = 256
     # connected components
     max_cc_iterations: int = 50
 

@@ -1,31 +1,33 @@
 """Distributed connected components over an edge DataFrame.
 
-Min-label propagation expressed as pure DataFrame joins + hash
-aggregations (SURVEY.md §2 Part B "iterative equi-join + hash agg"):
-each vertex repeatedly adopts the smallest label among itself and its
-neighbors; fixpoint = cluster assignment where every component is
-labeled by its minimum member id.
+Min-label propagation with pointer doubling, expressed as pure
+DataFrame joins + hash aggregations (SURVEY.md §2 Part B "iterative
+equi-join + hash agg"). Each round does two passes:
+
+1. **edge pass** — every vertex adopts the minimum label in its
+   neighborhood (join edges→labels on dst, min-agg per src);
+2. **pointer-jump pass** — ``label(x) ← min(label(x),
+   label(label(x)))`` (self-join of the label table). This halves the
+   depth of every label chain per round, so convergence is
+   O(log(max component diameter)) rounds, not O(diameter): a 10^6-row
+   chained LSH bucket (operators/lsh.py over-cap chains) converges in
+   ~20 rounds instead of 10^6.
 
 Scale notes (the parts that matter at 10^12 edges):
 
-* every iteration is one shuffle (join on dst) + one hash agg
-  (min per src); AQE coalesces/splits the shuffle partitions at
-  runtime;
-* ``localCheckpoint(eager=True)`` per iteration truncates the lineage
-  DAG — without it the plan doubles per iteration and Catalyst
-  re-analysis dominates (SURVEY.md §4 item 3). On a real cluster this
-  becomes a reliable-checkpoint/Iceberg write (see
-  ``sources/checkpoint.py``);
-* convergence in O(max component diameter) iterations. LSH clique
-  edges keep diameters tiny; chained over-cap buckets bound diameter
-  by the chain length — if that ever dominates, swap in the
-  large-star/small-star contraction (same join/agg primitives,
-  O(log n) rounds). The iteration count is capped and asserted.
+* each round = 2 shuffles (one per pass) + hash aggs; AQE
+  coalesces/splits shuffle partitions at runtime;
+* ``localCheckpoint(eager=True)`` per round truncates the lineage DAG
+  — without it the plan doubles per iteration and Catalyst re-analysis
+  dominates (SURVEY.md §4 item 3). On a real cluster swap for
+  reliable checkpoint / Iceberg stage writes (sources/checkpoint.py);
+* fixpoint when no label changes; iteration cap 60 covers components
+  of diameter ~2^60 — unreachable — and still fails loudly rather
+  than silently truncating.
 
-Deterministic output: labels are min(ids), ties impossible — so the
-assignment is a pure function of the edge *set*, independent of
-partitioning or executor count (the two-cluster-size reproducibility
-requirement).
+Deterministic output: labels are min(ids); the assignment is a pure
+function of the edge *set*, independent of partitioning or executor
+count (the two-cluster-size reproducibility requirement).
 """
 
 from __future__ import annotations
@@ -38,19 +40,18 @@ def connected_components(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
-    max_iterations: int = 50,
+    max_iterations: int = 60,
 ) -> DataFrame:
     """Return (id, cluster_id) for every vertex appearing in `edges`.
 
     cluster_id = min vertex id in the component.
     """
-    spark = edges.sparkSession
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    sym = sym.localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("s").alias("id"))
@@ -60,22 +61,29 @@ def connected_components(
     )
 
     for _ in range(max_iterations):
+        # pass 1: neighborhood minimum
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "d"), on="d")
             .groupBy("s")
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("s", "id")
         )
-        new_labels = (
+        l1 = (
             labels.join(nbr_min, on="id", how="left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.col("nbr_label")).alias("new_label"),
-                F.col("label"),
-            )
-            .localCheckpoint(eager=True)  # materialize once; count + next iter reuse it
+            .select("id", F.least("label", "nbr_label").alias("label"))
         )
-        changed = new_labels.filter(F.col("new_label") < F.col("label")).limit(1).count()
+        # pass 2: pointer jump — label(x) := min(label(x), label(label(x)))
+        lmap = l1.select(F.col("id").alias("label"), F.col("label").alias("label2"))
+        l2 = (
+            l1.join(lmap, on="label", how="left")
+            .select("id", F.least("label", "label2").alias("new_label"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(l2, on="id")
+            .localCheckpoint(eager=True)  # materialize once; count + next round reuse
+        )
+        changed = new_labels.filter(F.col("new_label") < F.col("old_label")).limit(1).count()
         labels = new_labels.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
@@ -83,5 +91,4 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} iterations"
         )
-    del spark
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -39,10 +39,18 @@ from .signatures import jaccard_from_signatures, minhash_signature_col
 
 
 def text_signatures(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> DataFrame:
-    """(id, signature, bands) — one vectorized-UDF pass."""
-    return df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature_col(text_col, cfg.minhash).alias("s"),
+    """(id, signature, bands) — one vectorized-UDF pass.
+
+    Small inputs (fewer partitions than cores — e.g. one parquet file)
+    are repartitioned so the UDF saturates the cluster; big inputs
+    (≥ cores partitions, the 100 TB case) pass through with no shuffle.
+    """
+    narrow = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    return narrow.select(
+        "_id", minhash_signature_col("_text", cfg.minhash).alias("s")
     ).select("_id", F.col("s.signature").alias("signature"), F.col("s.bands").alias("bands"))
 
 

@@ -1,36 +1,34 @@
 """LSH banding → candidate-pair generation (SURVEY.md §2 Part B).
 
 Dataflow: signature struct column → ``posexplode`` of the band-key
-array → ``(band_id, band_key, id)`` → repartition/groupBy on the band
-bucket → within-bucket pair emission via ``applyInPandas``.
+array → ``(band_id, band_key, id)`` → ``groupBy`` the band bucket →
+within-bucket pair emission **entirely JVM-side** with higher-order
+array functions (collect_set → array_sort → transform/slice →
+explode). No Python in the pair path: an earlier ``applyInPandas``
+version spent 130 s at sf0.1 spinning pandas frames for ~150k
+mostly-singleton buckets; the JVM version does the same work inside
+whole-stage codegen.
 
-The groupBy-based pair emitter is an equi hash join in disguise, but
-with explicit control the self-join lacks:
+Skew/scale controls (the parts that matter at 10^12 rows):
 
 * **bucket cap**: buckets larger than ``max_bucket_size`` would emit
-  O(m²) pairs (the classic LSH skew failure at 10^12 scale — millions
-  of identical boilerplate captions land in one bucket). For those we
-  emit a *sorted chain* (consecutive-id pairs, O(m)) instead of the
-  clique: the connected components downstream are identical as long as
-  chain edges survive verification — over-cap buckets hold rows whose
+  O(m²) pairs (the classic LSH skew failure — millions of identical
+  boilerplate captions in one bucket). For those we emit a *sorted
+  chain* (consecutive-id pairs, O(m)) instead of the clique: the
+  connected components downstream are identical as long as chain
+  edges survive verification — over-cap buckets hold rows whose
   ``rows_per_band`` signature slots all collide, i.e. near-certain
-  duplicates, so they do. The cap event is counted in the emitted
-  ``chained`` column — never silent truncation (SURVEY.md §7).
-* **dedup across bands**: the same pair found in multiple bands is
-  emitted once per band and de-duplicated with a single
-  ``dropDuplicates`` shuffle before the (expensive) verification join.
-
-At cluster scale AQE (adaptive skew-join splitting + partition
-coalescing) handles residual skew; the cap bounds the worst case
-before AQE ever sees it.
+  duplicates, so chained pairs bypass the Jaccard filter (flagged
+  ``chained=1``, never silently dropped, SURVEY.md §7).
+* **dedup across bands**: the same pair found in b bands is emitted b
+  times; one ``groupBy(a, b)`` de-duplicates before the (expensive)
+  verification join.
+* AQE (skew-join splitting + partition coalescing) handles residual
+  skew at runtime; the cap bounds the worst case before AQE sees it.
 """
 
 from __future__ import annotations
 
-
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -52,24 +50,31 @@ def explode_bands(df: DataFrame, id_col: str, bands_col: str = "bands") -> DataF
 def candidate_pairs(banded: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Distinct candidate id pairs (a < b) from band buckets.
 
-    Works for any orderable id type — the output pair columns keep the
-    input id type.
+    Pure DataFrame/codegen plan: hash-agg per bucket → conditional
+    clique/chain pair arrays → explode → hash-agg distinct. Works for
+    any orderable id type; output keeps the input id type.
     """
     cap = cfg.max_bucket_size
-    id_type = dict(banded.dtypes)["_id"]
-    schema = f"a {id_type}, b {id_type}, chained int"
-
-    def emit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(pdf["_id"].unique())
-        m = len(ids)
-        if m < 2:
-            return pd.DataFrame({"a": ids[:0], "b": ids[:0], "chained": np.zeros(0, np.int32)})
-        if m <= cap:
-            iu, ju = np.triu_indices(m, k=1)
-            return pd.DataFrame({"a": ids[iu], "b": ids[ju], "chained": 0})
-        return pd.DataFrame({"a": ids[:-1], "b": ids[1:], "chained": 1})
-
-    pairs = banded.groupBy("band_id", "band_key").applyInPandas(emit, schema)
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    clique = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "  transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
+        "    named_struct('a', x, 'b', y, 'chained', 0))))"
+    )
+    chain = F.expr(
+        "zip_with(slice(ids, 1, size(ids) - 1), slice(ids, 2, size(ids) - 1), "
+        "  (x, y) -> named_struct('a', x, 'b', y, 'chained', 1))"
+    )
+    pairs = (
+        buckets.select(
+            F.explode(F.when(F.size("ids") <= cap, clique).otherwise(chain)).alias("p")
+        )
+        .select("p.a", "p.b", "p.chained")
+    )
     # one row per unordered pair; a pair seen non-chained in any band
     # verifies normally (min wins over the chained flag)
     return pairs.groupBy("a", "b").agg(F.min("chained").alias("chained"))
