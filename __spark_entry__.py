@@ -21,7 +21,12 @@ from datasketches_rust_spark.operators.dedup import near_dup_text_clusters
 from datasketches_rust_spark.operators.signatures import simhash_col
 from datasketches_rust_spark.config import SimHashConfig
 from datasketches_rust_spark.operators.sketch_aggs import (
+    bloom_build,
+    bloom_semi_filter,
+    countmin_weights_by_key,
     frequent_items_by_count,
+    hll_distinct_by_key,
+    tdigest_stats,
     theta_distinct_by_key,
     theta_distinct_global,
     theta_intersect_groups,
@@ -119,9 +124,60 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tdigest_price_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    out = tdigest_stats(li, "l_extendedprice", quantiles=(0.5, 0.9))
+    # min/max/total_weight are exactly maintained (`tdigest/sketch.rs:
+    # 171-183, 214-216`) → oracle-checkable; quantiles are not
+    return out.select("min_value", "max_value", "total_weight")
+
+
+def _q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return tdigest_stats(li, "l_extendedprice", quantiles=(0.5, 0.9, 0.99)).select(
+        "q_50", "q_90", "q_99"
+    )
+
+
+def _q_countmin_suppkey_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    out = countmin_weights_by_key(li, "l_suppkey", "qty", num_hashes=3, num_buckets=16384)
+    # collision-free config at this scale → exact (verified vs oracle)
+    return out.select(F.col("l_suppkey").alias("suppkey"), F.col("est_weight").alias("total_qty"))
+
+
+def _q_bloom_custkey_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    cust = _read(spark, sf_dir, "customer")
+    blob = bloom_build(orders, "o_custkey", max_items=200_000, fpp=1e-9)
+    # fpp 1e-9 on <= ~100k probes → deterministic no-false-positive
+    # regime (verified vs the semi-join oracle); no false negatives by
+    # construction (`bloom/sketch.rs` membership contract)
+    return bloom_semi_filter(cust, "c_custkey", blob).select(
+        F.col("c_custkey").alias("custkey")
+    )
+
+
+def _q_hll_distinct_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    out = hll_distinct_by_key(cust, "c_nationkey", "c_custkey", lg_k=12)
+    return out.select(F.col("c_nationkey").alias("nationkey"), F.col("hll_estimate"))
+
+
 def _q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash_col("text", SimHashConfig()).alias("simhash"))
+
+
+def _q_substring_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_rust_spark.operators.substring_match import substring_match_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return substring_match_pairs(docs, "doc_id", "text", min_len=30).select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), F.col("common_len")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -135,6 +191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
         "simhash_documents": _q_simhash_documents,
+        "substring_match_documents": _q_substring_match_documents,
+        "tdigest_price_minmax": _q_tdigest_price_minmax,
+        "tdigest_price_quantiles": _q_tdigest_price_quantiles,
+        "countmin_suppkey_weights": _q_countmin_suppkey_weights,
+        "bloom_custkey_members": _q_bloom_custkey_members,
+        "hll_distinct_by_nation": _q_hll_distinct_by_nation,
     }
 
 
@@ -188,7 +250,25 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_token_span
             FROM documents
         """,
-        # neardup_text_clusters / simhash_documents: murmur-seeded LSH +
-        # CC — not SQL-expressible; driver records rows-only checks,
-        # pytest covers them against the NumPy oracle.
+        "tdigest_price_minmax": """
+            SELECT MIN(l_extendedprice) AS min_value,
+                   MAX(l_extendedprice) AS max_value,
+                   COUNT(*) AS total_weight
+            FROM lineitem
+        """,
+        "countmin_suppkey_weights": """
+            SELECT l_suppkey AS suppkey,
+                   SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "bloom_custkey_members": """
+            SELECT c_custkey AS custkey FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+        """,
+        # neardup_text_clusters / simhash_documents / tdigest quantiles /
+        # hll estimates: murmur-seeded LSH + CC / estimation-regime
+        # sketches — not SQL-expressible; driver records rows-only
+        # checks, pytest covers them (NumPy oracle + tolerance gates).
     }

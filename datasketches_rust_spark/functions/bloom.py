@@ -1,0 +1,212 @@
+"""Bloom filter — NumPy kernel mirroring the reference semantics
+(`datasketches/src/bloom/`).
+
+* sizing (`builder.rs:183-215`): m = ⌈−n·ln p / ln²2⌉ bits (rounded up
+  to 64-bit words), k = ⌈(m/n)·ln 2⌉ hashes;
+* bit selection (`bloom/sketch.rs:499-543`, Kirsch–Mitzenmacher double
+  hashing): h0 = xxhash64(item, seed), h1 = xxhash64(item, h0),
+  bit_i = ((h0 + i·h1) >> 1) mod m for i = 1..=k;
+* union/intersect/invert: word-wise OR/AND/NOT with size+k+seed
+  compatibility check (`bloom/sketch.rs:174-253, 314-318`);
+* stats: bits_used, load_factor, estimated_fpp = load^k
+  (`bloom/sketch.rs:256-306`).
+
+Items hash as raw bytes (ints → 8 LE bytes), engine-wide convention.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from math import ceil, log
+
+import numpy as np
+
+from ..hashes import pack_bytes, xxhash64_arr, xxhash64_u64s
+
+_U64 = np.uint64
+
+
+def optimal_bits(max_items: int, fpp: float) -> int:
+    bits = ceil(-max_items * log(fpp) / (log(2) ** 2))
+    return ((bits + 63) // 64) * 64
+
+
+def optimal_hashes(max_items: int, num_bits: int) -> int:
+    return ceil(num_bits / max_items * log(2))
+
+
+@dataclass
+class BloomFilter:
+    num_bits: int
+    num_hashes: int
+    seed: int = 0
+    words: np.ndarray = None  # uint64 array
+
+    def __post_init__(self) -> None:
+        if self.num_bits % 64:
+            self.num_bits = ((self.num_bits + 63) // 64) * 64
+        if self.words is None:
+            self.words = np.zeros(self.num_bits // 64, dtype=np.uint64)
+
+    @staticmethod
+    def with_accuracy(max_items: int, fpp: float, seed: int = 0) -> "BloomFilter":
+        m = optimal_bits(max_items, fpp)
+        return BloomFilter(m, optimal_hashes(max_items, m), seed)
+
+    @staticmethod
+    def _to_bytes(item) -> bytes:
+        if isinstance(item, bytes):
+            return item
+        if isinstance(item, (int, np.integer)):
+            return int(item).to_bytes(8, "little", signed=int(item) < 0)
+        return str(item).encode("utf-8")
+
+    def _bit_positions(self, items: list) -> np.ndarray:
+        """(n, num_hashes) bit indices via double hashing."""
+        bts = [self._to_bytes(i) for i in items]
+        buf, starts, lengths = pack_bytes(bts)
+        h0 = xxhash64_arr(buf, starts, lengths, self.seed)
+        h1 = np.empty_like(h0)
+        # h1 = xxhash64(item, seed=h0) — per-row seed; reuse the u64
+        # fast path only for 8-byte items, else full re-hash per seed
+        # group is infeasible → hash the 8-byte h0 with item-hash h0 as
+        # data? No: mirror the reference exactly — xxhash64(item, h0).
+        # Vectorized by re-running the kernel with per-row seeds.
+        h1 = _xxhash64_arr_per_row_seed(buf, starts, lengths, h0)
+        i = np.arange(1, self.num_hashes + 1, dtype=np.uint64)
+        pos = ((h0[:, None] + i[None, :] * h1[:, None]) >> _U64(1)) % _U64(self.num_bits)
+        return pos
+
+    def insert_batch(self, items: list) -> None:
+        pos = self._bit_positions(items).reshape(-1)
+        words, bits = np.divmod(pos, _U64(64))
+        np.bitwise_or.at(self.words, words.astype(np.int64), _U64(1) << bits)
+
+    def insert(self, item) -> None:
+        self.insert_batch([item])
+
+    def contains_batch(self, items: list) -> np.ndarray:
+        pos = self._bit_positions(items)
+        words, bits = np.divmod(pos, _U64(64))
+        hit = (self.words[words.astype(np.int64)] >> bits) & _U64(1)
+        return hit.all(axis=1)
+
+    def contains(self, item) -> bool:
+        return bool(self.contains_batch([item])[0])
+
+    # -- set ops (`bloom/sketch.rs:174-253, 314-318`) ------------------------
+
+    def _check_compat(self, other: "BloomFilter") -> None:
+        if (self.num_bits, self.num_hashes, self.seed) != (
+            other.num_bits,
+            other.num_hashes,
+            other.seed,
+        ):
+            raise ValueError("incompatible bloom filters")
+
+    def union(self, other: "BloomFilter") -> "BloomFilter":
+        self._check_compat(other)
+        self.words |= other.words
+        return self
+
+    def intersect(self, other: "BloomFilter") -> "BloomFilter":
+        self._check_compat(other)
+        self.words &= other.words
+        return self
+
+    def invert(self) -> "BloomFilter":
+        self.words = ~self.words
+        return self
+
+    # -- stats ---------------------------------------------------------------
+
+    def bits_used(self) -> int:
+        return int(np.bitwise_count(self.words).sum()) if hasattr(np, "bitwise_count") else int(
+            sum(bin(int(w)).count("1") for w in self.words)
+        )
+
+    def load_factor(self) -> float:
+        return self.bits_used() / self.num_bits
+
+    def estimated_fpp(self) -> float:
+        return self.load_factor() ** self.num_hashes
+
+    # -- serde (family 21) ----------------------------------------------------
+
+    def serialize(self) -> bytes:
+        head = struct.pack("<BBBxIQ", 21, 1, self.num_hashes, self.num_bits, self.seed)
+        return head + self.words.astype("<u8").tobytes()
+
+    @staticmethod
+    def deserialize(data: bytes) -> "BloomFilter":
+        family, _ver, nh, nb, seed = struct.unpack_from("<BBBxIQ", data, 0)
+        if family != 21:
+            raise ValueError(f"not a bloom filter (family {family})")
+        off = struct.calcsize("<BBBxIQ")
+        words = np.frombuffer(data, dtype="<u8", count=nb // 64, offset=off)
+        return BloomFilter(nb, nh, seed, words.copy())
+
+
+def _xxhash64_arr_per_row_seed(buf, starts, lengths, seeds) -> np.ndarray:
+    """xxhash64 with a different seed per row.
+
+    Short inputs (< 32 bytes, the common key case) share the same
+    seed-dependent code path, so the kernel vectorizes directly; long
+    inputs fall back to grouping identical-seed rows (rare for keys).
+    """
+    from ..hashes import xxhash64 as _scalar
+
+    n = len(starts)
+    out = np.empty(n, dtype=np.uint64)
+    short = lengths < 32
+    if short.any():
+        out[short] = _xx_short_per_seed(buf, starts[short], lengths[short], seeds[short])
+    long_idx = np.nonzero(~short)[0]
+    for i in long_idx:
+        s, ln = int(starts[i]), int(lengths[i])
+        out[i] = _scalar(buf[s : s + ln].tobytes(), int(seeds[i]))
+    return out
+
+
+def _xx_short_per_seed(buf, starts, lengths, seeds) -> np.ndarray:
+    """Vectorized xxhash64 for inputs < 32 bytes with per-row seeds:
+    h = seed + P5 (no stripes), then the standard tail loop."""
+    from ..hashes import _P1, _P2, _P3, _P4, _P5, _SHIFTS8, _gather_u64, _vrotl
+
+    n = len(starts)
+    h = seeds.astype(np.uint64) + _U64(_P5)
+    h = h + lengths.astype(np.uint64)
+    pos = np.zeros(n, dtype=np.int64)
+    rem = lengths.astype(np.int64)
+    for _ in range(3):
+        m = (rem - pos) >= 8
+        if not m.any():
+            break
+        k1 = _gather_u64(buf, starts[m] + pos[m])
+        k1 = k1 * _U64(_P2)
+        k1 = _vrotl(k1, 31)
+        k1 = k1 * _U64(_P1)
+        h[m] ^= k1
+        h[m] = _vrotl(h[m], 27) * _U64(_P1) + _U64(_P4)
+        pos[m] += 8
+    m = (rem - pos) >= 4
+    if m.any():
+        idx = (starts[m] + pos[m])[:, None] + np.arange(4)
+        k1 = np.bitwise_or.reduce(buf[idx].astype(np.uint64) << _SHIFTS8[:4], axis=1)
+        h[m] ^= k1 * _U64(_P1)
+        h[m] = _vrotl(h[m], 23) * _U64(_P2) + _U64(_P3)
+        pos[m] += 4
+    for _ in range(3):
+        m = (rem - pos) >= 1
+        if not m.any():
+            break
+        k1 = buf[starts[m] + pos[m]].astype(np.uint64)
+        h[m] ^= k1 * _U64(_P5)
+        h[m] = _vrotl(h[m], 11) * _U64(_P1)
+        pos[m] += 1
+    h = h ^ (h >> _U64(33))
+    h = h * _U64(_P2)
+    h = h ^ (h >> _U64(29))
+    h = h * _U64(_P3)
+    return h ^ (h >> _U64(32))

@@ -1,0 +1,155 @@
+"""Count-Min sketch — NumPy kernel mirroring the reference semantics
+(`datasketches/src/countmin/sketch.rs`).
+
+* sizing: num_buckets = ⌈e/ε⌉ (`sketch.rs:131-134`), num_hashes =
+  ⌈ln(1/(1−confidence))⌉ (`sketch.rs:141-151`);
+* per-row hash seeds derived ``murmur(seed).write(i as u64 LE).h1``
+  (`sketch.rs:493-503`) — reproduced bit-for-bit;
+* bucket index: ``murmur(seed_i, item_bytes).h1 % num_buckets``
+  (`sketch.rs:405-410`). Items hash as raw bytes (ints → 8 LE bytes),
+  the engine-wide convention (SURVEY.md §7 hard-parts note);
+* update: add weight to one bucket per row (vectorized scatter-add,
+  ``np.add.at``);
+* estimate: min over rows (`sketch.rs:201-211`); bounds: LB = est −
+  ε·W is NOT the reference's (it uses est & est + ε·W); we mirror:
+  UB = est + ε·total_weight, LB = est (`sketch.rs:213-225`);
+* merge: element-wise add, config+seed checked (`sketch.rs:246-259`);
+* halve/decay: exponential counter decay (`sketch.rs:427-458`).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from math import ceil, e, log
+
+import numpy as np
+
+from ..hashes import (
+    DEFAULT_UPDATE_SEED,
+    compute_seed_hash,
+    murmur3_x64_128,
+    murmur3_x64_128_arr,
+    pack_bytes,
+)
+
+
+def suggest_num_buckets(relative_error: float) -> int:
+    if relative_error < 0:
+        raise ValueError("relative_error must be >= 0")
+    return ceil(e / relative_error)
+
+
+def suggest_num_hashes(confidence: float) -> int:
+    if not 0.0 <= confidence <= 1.0:
+        raise ValueError("confidence must be in [0, 1]")
+    if confidence == 1.0:
+        return 127
+    return min(ceil(log(1.0 / (1.0 - confidence))), 127)
+
+
+def _derive_seeds(seed: int, num_hashes: int) -> np.ndarray:
+    out = np.empty(num_hashes, dtype=np.uint64)
+    for i in range(num_hashes):
+        h1, _ = murmur3_x64_128(int(i).to_bytes(8, "little"), seed)
+        out[i] = h1
+    return out
+
+
+@dataclass
+class CountMinSketch:
+    num_hashes: int
+    num_buckets: int
+    seed: int = DEFAULT_UPDATE_SEED
+    counts: np.ndarray = field(default=None)  # (num_hashes, num_buckets) int64
+    total_weight: int = 0
+
+    def __post_init__(self) -> None:
+        if self.num_buckets < 3:
+            raise ValueError("num_buckets must be at least 3")
+        if self.counts is None:
+            self.counts = np.zeros((self.num_hashes, self.num_buckets), dtype=np.int64)
+        self.hash_seeds = _derive_seeds(self.seed, self.num_hashes)
+        self.seed_hash = compute_seed_hash(self.seed)
+
+    @property
+    def relative_error(self) -> float:
+        return e / self.num_buckets
+
+    def _buckets(self, items: list[bytes]) -> np.ndarray:
+        """(num_hashes, n) bucket indices."""
+        buf, starts, lengths = pack_bytes(items)
+        out = np.empty((self.num_hashes, len(items)), dtype=np.int64)
+        for r in range(self.num_hashes):
+            h1, _ = murmur3_x64_128_arr(buf, starts, lengths, int(self.hash_seeds[r]))
+            out[r] = (h1 % np.uint64(self.num_buckets)).astype(np.int64)
+        return out
+
+    @staticmethod
+    def _to_bytes(item) -> bytes:
+        if isinstance(item, bytes):
+            return item
+        if isinstance(item, (int, np.integer)):
+            return int(item).to_bytes(8, "little", signed=int(item) < 0)
+        return str(item).encode("utf-8")
+
+    def update_batch(self, items: list, weights: np.ndarray | None = None) -> None:
+        bts = [self._to_bytes(i) for i in items]
+        w = np.ones(len(bts), np.int64) if weights is None else np.asarray(weights, np.int64)
+        bk = self._buckets(bts)
+        for r in range(self.num_hashes):
+            np.add.at(self.counts[r], bk[r], w)
+        self.total_weight += int(w.sum())
+
+    def update(self, item, weight: int = 1) -> None:
+        self.update_batch([item], np.array([weight], np.int64))
+
+    def estimate_batch(self, items: list) -> np.ndarray:
+        bts = [self._to_bytes(i) for i in items]
+        bk = self._buckets(bts)
+        vals = np.stack([self.counts[r, bk[r]] for r in range(self.num_hashes)])
+        return vals.min(axis=0)
+
+    def estimate(self, item) -> int:
+        return int(self.estimate_batch([item])[0])
+
+    def lower_bound(self, item) -> int:
+        return self.estimate(item)
+
+    def upper_bound(self, item) -> int:
+        return int(self.estimate(item) + self.relative_error * self.total_weight)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if other is self:
+            raise ValueError("cannot merge a sketch with itself")
+        if (other.num_hashes, other.num_buckets, other.seed) != (
+            self.num_hashes,
+            self.num_buckets,
+            self.seed,
+        ):
+            raise ValueError("incompatible CountMin configs")
+        self.counts += other.counts
+        self.total_weight += other.total_weight
+        return self
+
+    def halve(self) -> None:
+        self.counts //= 2
+
+    # -- serde (family 18, `codec/family.rs:36-91`; engine layout) ----------
+
+    def serialize(self) -> bytes:
+        head = struct.pack(
+            "<BBBIQq", 18, 1, self.num_hashes, self.num_buckets, self.seed, self.total_weight
+        )
+        return head + self.counts.astype("<i8").tobytes()
+
+    @staticmethod
+    def deserialize(data: bytes, seed: int = DEFAULT_UPDATE_SEED) -> "CountMinSketch":
+        family, _ver, nh, nb, sseed, tw = struct.unpack_from("<BBBIQq", data, 0)
+        if family != 18:
+            raise ValueError(f"not a countmin sketch (family {family})")
+        if sseed != seed:
+            raise ValueError("seed mismatch")
+        off = struct.calcsize("<BBBIQq")
+        counts = np.frombuffer(data, dtype="<i8", count=nh * nb, offset=off).reshape(nh, nb)
+        return CountMinSketch(nh, nb, seed, counts.copy(), tw)

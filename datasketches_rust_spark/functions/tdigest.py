@@ -1,0 +1,276 @@
+"""t-digest — merging digest with the K_2 scale function, matching the
+reference semantics (`datasketches/src/tdigest/sketch.rs`).
+
+* config: k >= 10, default 200 (`sketch.rs:39-43`); centroid capacity
+  2k + fudge(10), buffer 4x capacity (`sketch.rs:84-94`);
+* update: buffered; NaN/±inf ignored (`sketch.rs:171-183`); min/max
+  exactly maintained;
+* compress/do_merge (`sketch.rs:726-795`): sort buffer+centroids by
+  mean, alternate merge direction each pass (``reverse_merge``),
+  greedy merge under K_2: proposed_weight <= W · min(max(q0, norm),
+  max(q2, norm)) with max(q, n) = q(1−q)/n and normalizer =
+  compression/z, z = 4·ln(n/compression) + 24, compression = 2k
+  (`sketch.rs:1319-1336`);
+* merge(other): concat other's centroids+buffer, re-merge
+  (`sketch.rs:231-255`) — commutative up to the documented
+  order-sensitivity of t-digest internals; estimates are
+  tolerance-gated, not oracle-gated (SURVEY.md §5 layer 2);
+* rank/quantile: interpolated with half-weight tail handling — a
+  faithful port of `sketch.rs:1040-1212`;
+* cdf/pmf over monotone split points (`sketch.rs:1014-1038`).
+"""
+
+from __future__ import annotations
+
+import struct
+from math import log
+
+import numpy as np
+
+DEFAULT_K = 200
+_FUDGE = 10
+
+
+def _normalizer(compression: float, n: float) -> float:
+    return compression / (4.0 * log(n / compression) + 24.0)
+
+
+def _scale_max(q: float, normalizer: float) -> float:
+    return q * (1.0 - q) / normalizer
+
+
+class TDigest:
+    """Mutable merging t-digest over f64 values."""
+
+    def __init__(self, k: int = DEFAULT_K):
+        if k < 10:
+            raise ValueError("k must be >= 10")
+        self.k = k
+        self.capacity = 2 * k + _FUDGE
+        self.buffer_capacity = 4 * self.capacity
+        self.means = np.zeros(0, np.float64)
+        self.weights = np.zeros(0, np.float64)
+        self.buffer: list[float] = []
+        self.min = np.inf
+        self.max = -np.inf
+        self.reverse_merge = False
+        self.centroids_weight = 0.0
+
+    # -- update ----------------------------------------------------------------
+
+    def update(self, v: float) -> None:
+        if np.isnan(v) or np.isinf(v):
+            return
+        self.buffer.append(float(v))
+        self.min = min(self.min, v)
+        self.max = max(self.max, v)
+        if len(self.buffer) >= self.buffer_capacity:
+            self.compress()
+
+    def update_batch(self, vals: np.ndarray) -> None:
+        vals = np.asarray(vals, np.float64)
+        vals = vals[np.isfinite(vals)]
+        if len(vals) == 0:
+            return
+        self.min = min(self.min, float(vals.min()))
+        self.max = max(self.max, float(vals.max()))
+        # merge at the same cadence as per-value updates (buffer fills
+        # of 4x capacity, `sketch.rs:84-94`) — one giant merge of a
+        # sorted batch measurably degrades mid-quantile accuracy
+        pos = 0
+        while pos < len(vals):
+            room = self.buffer_capacity - len(self.buffer)
+            take = vals[pos : pos + room]
+            self.buffer.extend(take.tolist())
+            pos += len(take)
+            if len(self.buffer) >= self.buffer_capacity:
+                self.compress()
+
+    def compress(self) -> None:
+        if not self.buffer:
+            return
+        bm = np.array(self.buffer, np.float64)
+        bw = np.ones(len(bm), np.float64)
+        self._do_merge(bm, bw, float(len(bm)))
+        self.buffer.clear()
+
+    def _do_merge(self, bm: np.ndarray, bw: np.ndarray, new_weight: float) -> None:
+        means = np.concatenate([bm, self.means])
+        weights = np.concatenate([bw, self.weights])
+        order = np.argsort(means, kind="stable")
+        means = means[order]
+        weights = weights[order]
+        if self.reverse_merge:
+            means = means[::-1]
+            weights = weights[::-1]
+        self.centroids_weight += new_weight
+        w_total = self.centroids_weight
+        norm = _normalizer(2.0 * self.k, w_total)
+
+        out_m = [means[0]]
+        out_w = [weights[0]]
+        weight_so_far = 0.0
+        n = len(means)
+        for cur in range(1, n):
+            proposed = out_w[-1] + weights[cur]
+            add_this = False
+            if cur != 1 and cur != n - 1:
+                q0 = weight_so_far / w_total
+                q2 = (weight_so_far + proposed) / w_total
+                add_this = proposed <= w_total * min(
+                    _scale_max(q0, norm), _scale_max(q2, norm)
+                )
+            if add_this:
+                # weighted-mean merge into the last centroid
+                w_new = out_w[-1] + weights[cur]
+                out_m[-1] += (means[cur] - out_m[-1]) * weights[cur] / w_new
+                out_w[-1] = w_new
+            else:
+                weight_so_far += out_w[-1]
+                out_m.append(means[cur])
+                out_w.append(weights[cur])
+        self.means = np.array(out_m, np.float64)
+        self.weights = np.array(out_w, np.float64)
+        if self.reverse_merge:
+            self.means = self.means[::-1].copy()
+            self.weights = self.weights[::-1].copy()
+        self.min = min(self.min, float(self.means[0]))
+        self.max = max(self.max, float(self.means[-1]))
+        self.reverse_merge = not self.reverse_merge
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if other.total_weight() == 0:
+            return self
+        om = np.concatenate([np.array(other.buffer, np.float64), other.means])
+        ow = np.concatenate([np.ones(len(other.buffer)), other.weights])
+        self.compress()
+        self.min = min(self.min, other.min)
+        self.max = max(self.max, other.max)
+        self._do_merge(om, ow, float(ow.sum()))
+        return self
+
+    # -- queries ----------------------------------------------------------------
+
+    def total_weight(self) -> int:
+        return int(self.centroids_weight + len(self.buffer))
+
+    def is_empty(self) -> bool:
+        return self.total_weight() == 0
+
+    def rank(self, value: float) -> float | None:
+        self.compress()
+        m, w = self.means, self.weights
+        if len(m) == 0:
+            return None
+        if value < self.min:
+            return 0.0
+        if value > self.max:
+            return 1.0
+        if len(m) == 1:
+            return 0.5
+        W = self.centroids_weight
+        if value < m[0]:
+            if m[0] - self.min > 0:
+                if value == self.min:
+                    return 0.5 / W
+                return (1.0 + ((value - self.min) / (m[0] - self.min)) * (w[0] / 2.0 - 1.0)) / W
+            return 0.0
+        if value > m[-1]:
+            if self.max - m[-1] > 0:
+                if value == self.max:
+                    return 1.0 - 0.5 / W
+                return 1.0 - (
+                    (1.0 + ((self.max - value) / (self.max - m[-1])) * (w[-1] / 2.0 - 1.0)) / W
+                )
+            return 1.0
+        lower = int(np.searchsorted(m, value, side="left"))
+        if lower < len(m) and value < m[lower]:
+            lower -= 1
+        upper = int(np.searchsorted(m, value, side="right"))
+        if upper == len(m) or m[upper - 1] >= value:
+            upper -= 1
+        weight_below = float(w[:lower].sum()) + w[lower] / 2.0
+        weight_delta = float(w[lower:upper].sum()) - w[lower] / 2.0 + w[upper] / 2.0
+        if m[upper] - m[lower] > 0:
+            return (weight_below + weight_delta * (value - m[lower]) / (m[upper] - m[lower])) / W
+        return (weight_below + weight_delta / 2.0) / W
+
+    def quantile(self, rank: float) -> float | None:
+        if not 0.0 <= rank <= 1.0:
+            raise ValueError("rank must be in [0, 1]")
+        self.compress()
+        m, w = self.means, self.weights
+        if len(m) == 0:
+            return None
+        if len(m) == 1:
+            return float(m[0])
+        W = self.centroids_weight
+        weight = rank * W
+        if weight < 1.0:
+            return self.min
+        if weight > W - 1.0:
+            return self.max
+        if w[0] > 1.0 and weight < w[0] / 2.0:
+            return self.min + ((weight - 1.0) / (w[0] / 2.0 - 1.0)) * (m[0] - self.min)
+        if w[-1] > 1.0 and W - weight <= w[-1] / 2.0:
+            return self.max + ((W - weight - 1.0) / (w[-1] / 2.0 - 1.0)) * (self.max - m[-1])
+        weight_so_far = w[0] / 2.0
+        for i in range(len(m) - 1):
+            dw = (w[i] + w[i + 1]) / 2.0
+            if weight_so_far + dw > weight:
+                left_weight = 0.0
+                if w[i] == 1.0:
+                    if weight - weight_so_far < 0.5:
+                        return float(m[i])
+                    left_weight = 0.5
+                right_weight = 0.0
+                if w[i + 1] == 1.0:
+                    if weight_so_far + dw - weight <= 0.5:
+                        return float(m[i + 1])
+                    right_weight = 0.5
+                w1 = weight - weight_so_far - left_weight
+                w2 = weight_so_far + dw - weight - right_weight
+                return float((m[i] * w1 + m[i + 1] * w2) / (w1 + w2))
+            weight_so_far += dw
+        w1 = weight - W - w[-1] / 2.0
+        w2 = w[-1] / 2.0 - w1
+        return float((m[-1] * w1 + self.max * w2) / (w1 + w2))
+
+    def cdf(self, split_points: list[float]) -> list[float]:
+        _check_monotone(split_points)
+        return [self.rank(v) for v in split_points] + [1.0]
+
+    def pmf(self, split_points: list[float]) -> list[float]:
+        c = self.cdf(split_points)
+        return [c[0]] + [c[i] - c[i - 1] for i in range(1, len(c))]
+
+    # -- serde (family 20; engine layout) ----------------------------------------
+
+    def serialize(self) -> bytes:
+        self.compress()
+        head = struct.pack(
+            "<BBHIddq", 20, 1, self.k, len(self.means), self.min, self.max,
+            int(self.centroids_weight),
+        )
+        return head + self.means.astype("<f8").tobytes() + self.weights.astype("<f8").tobytes()
+
+    @staticmethod
+    def deserialize(data: bytes) -> "TDigest":
+        family, _ver, k, n, mn, mx, cw = struct.unpack_from("<BBHIddq", data, 0)
+        if family != 20:
+            raise ValueError(f"not a tdigest (family {family})")
+        off = struct.calcsize("<BBHIddq")
+        td = TDigest(k)
+        td.means = np.frombuffer(data, "<f8", count=n, offset=off).copy()
+        td.weights = np.frombuffer(data, "<f8", count=n, offset=off + 8 * n).copy()
+        td.min, td.max, td.centroids_weight = mn, mx, float(cw)
+        return td
+
+
+def _check_monotone(points: list[float]) -> None:
+    for i in range(1, len(points)):
+        if not points[i] > points[i - 1]:
+            raise ValueError("split points must be strictly increasing")
+    for p in points:
+        if np.isnan(p):
+            raise ValueError("split points must not be NaN")

@@ -166,3 +166,185 @@ def frequent_items_by_count(
     if item_type != "string":
         out = out.withColumn(item_col, F.col(item_col).cast(item_type))
     return out
+
+
+# ---------------------------------------------------------------------------
+# tdigest / countmin / bloom / hll two-phase aggregations
+# ---------------------------------------------------------------------------
+
+
+def tdigest_stats(
+    df: DataFrame, value_col: str, quantiles: tuple = (0.5, 0.9, 0.99), k: int = 200
+) -> DataFrame:
+    """Two-phase t-digest over a numeric column.
+
+    Returns one row: exactly-maintained (min_value, max_value,
+    total_weight — `tdigest/sketch.rs:171-183, 214-216`, oracle-
+    checkable) + tolerance-gated quantile estimates (q_50 etc.).
+    """
+    from ..functions.tdigest import TDigest
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        td = TDigest(k)
+        for pdf in batches:
+            td.update_batch(pdf[value_col].to_numpy(np.float64))
+        yield pd.DataFrame({"sketch": [td.serialize()]})
+
+    partials = df.select(value_col).mapInPandas(partial, "sketch binary")
+    qcols = ", ".join(f"q_{int(q * 100)} double" for q in quantiles)
+    schema = f"min_value double, max_value double, total_weight long, {qcols}"
+
+    def merge(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        td = TDigest(k)
+        for b in pdf["sketch"]:
+            td.merge(TDigest.deserialize(bytes(b)))
+        row = {
+            "min_value": [td.min if not td.is_empty() else None],
+            "max_value": [td.max if not td.is_empty() else None],
+            "total_weight": [td.total_weight()],
+        }
+        for q in quantiles:
+            row[f"q_{int(q * 100)}"] = [td.quantile(q)]
+        return pd.DataFrame(row)
+
+    return (
+        partials.withColumn("_g", F.lit(0)).groupBy("_g").applyInPandas(merge, schema)
+    )
+
+
+def countmin_weights_by_key(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    num_hashes: int = 3,
+    num_buckets: int = 16384,
+) -> DataFrame:
+    """Count-Min estimated total weight per distinct key.
+
+    Two-phase: per-partition sketches + merged final
+    (`countmin/sketch.rs:246-259` merge = element-wise add). The probe
+    set is the distinct keys of the input (collected inside the final
+    task, not the driver). Collision-free configs (num_buckets >>
+    distinct keys) give exact sums → oracle-checkable.
+    Returns (key, est_weight, upper_bound).
+    """
+    from ..functions.countmin import CountMinSketch
+
+    key_type = dict(df.dtypes)[key_col]
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = CountMinSketch(num_hashes, num_buckets)
+        keys: set = set()
+        for pdf in batches:
+            vals = pdf[key_col].to_numpy()
+            w = pdf[weight_col].to_numpy(np.int64)
+            cm.update_batch(list(vals), w)
+            keys.update(vals.tolist())
+        yield pd.DataFrame(
+            {"sketch": [cm.serialize()], "keys": [sorted(keys)]}
+        )
+
+    partials = df.select(key_col, weight_col).mapInPandas(
+        partial, f"sketch binary, keys array<{key_type}>"
+    )
+
+    def merge(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        cm = None
+        keys: set = set()
+        for b, ks in zip(pdf["sketch"], pdf["keys"]):
+            part = CountMinSketch.deserialize(bytes(b))
+            cm = part if cm is None else cm.merge(part)
+            keys.update(ks)
+        probe = sorted(keys)
+        est = cm.estimate_batch(probe)
+        ub = est + int(cm.relative_error * cm.total_weight)
+        return pd.DataFrame({key_col: probe, "est_weight": est, "upper_bound": ub})
+
+    return (
+        partials.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(merge, f"{key_col} {key_type}, est_weight long, upper_bound long")
+    )
+
+
+def bloom_build(df: DataFrame, col: str, max_items: int, fpp: float) -> bytes:
+    """Distributed bloom build: per-partition filters OR-merged
+    (`bloom/sketch.rs:174-185` union) — returns the serialized filter
+    (driver-side blob, intended for broadcast as a join pre-filter)."""
+    from ..functions.bloom import BloomFilter
+
+    proto = BloomFilter.with_accuracy(max_items, fpp)
+    nb, nh = proto.num_bits, proto.num_hashes
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bf = BloomFilter(nb, nh)
+        for pdf in batches:
+            bf.insert_batch(pdf[col].tolist())
+        yield pd.DataFrame({"sketch": [bf.serialize()]})
+
+    blobs = df.select(col).mapInPandas(partial, "sketch binary").collect()
+    out = BloomFilter(nb, nh)
+    for r in blobs:
+        out.union(BloomFilter.deserialize(bytes(r.sketch)))
+    return out.serialize()
+
+
+def bloom_semi_filter(
+    probe_df: DataFrame, probe_col: str, bloom_bytes: bytes
+) -> DataFrame:
+    """Filter probe_df to rows whose key is (probably) in the filter.
+
+    No false negatives (`bloom/sketch.rs` membership contract); FPP
+    per the build config. The blob rides to executors via closure
+    broadcast — the DataFrame-level equivalent of Spark's runtime
+    bloom-filter join pruning (`spark.sql.optimizer.runtime.bloomFilter`).
+    """
+    from ..functions.bloom import BloomFilter
+
+    @F.pandas_udf("boolean")
+    def probe(keys: pd.Series) -> pd.Series:
+        bf = BloomFilter.deserialize(bloom_bytes)
+        return pd.Series(bf.contains_batch(keys.tolist()))
+
+    return probe_df.filter(probe(F.col(probe_col)))
+
+
+def hll_distinct_by_key(
+    df: DataFrame, key_col: str, item_col: str, lg_k: int = 12
+) -> DataFrame:
+    """approx COUNT(DISTINCT item) BY key via HLL register-max merge
+    (`hll/union.rs:407-513`). Tolerance-gated (rows-only for the
+    driver oracle; pytest asserts the HLL error gates).
+    Returns (key, hll_estimate double)."""
+    from ..functions.hll import HllSketch
+
+    key_type = dict(df.dtypes)[key_col]
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, blobs = [], []
+            for k, vals in pdf.groupby(key_col, sort=False)[item_col]:
+                s = HllSketch(lg_k)
+                arr = vals.dropna().to_numpy()
+                if arr.dtype.kind in ("i", "u"):
+                    s.update_u64s(arr.astype(np.int64).view(np.uint64))
+                else:
+                    s.update_strings([str(v) for v in arr])
+                keys.append(k)
+                blobs.append(s.serialize())
+            yield pd.DataFrame({key_col: keys, "sketch": blobs})
+
+    partials = df.select(key_col, item_col).mapInPandas(
+        partial, f"{key_col} {key_type}, sketch binary"
+    )
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        s = None
+        for b in pdf["sketch"]:
+            part = HllSketch.deserialize(bytes(b))
+            s = part if s is None else s.union(part)
+        return pd.DataFrame({key_col: [key[0]], "hll_estimate": [s.estimate()]})
+
+    return partials.groupBy(key_col).applyInPandas(
+        merge, f"{key_col} {key_type}, hll_estimate double"
+    )

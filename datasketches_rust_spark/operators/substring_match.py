@@ -1,0 +1,94 @@
+"""Substring-match dedup operator (north-rule signature family #3).
+
+Pipeline: winnowed fingerprints (pandas UDF, ArrayType(LongType)) →
+explode → fingerprint buckets → candidate pairs (reusing the LSH
+bucket machinery, operators/lsh.py — identical shuffle topology) →
+exact verification: suffix-array longest-common-substring per pair
+(functions/substring.py), filter >= min_len.
+
+Guarantee chain: winnowing (k, w) finds every pair sharing a run of
+length >= k + w − 1 = min_len; the suffix-array verifier then removes
+hash-coincidence false positives and reports the exact shared length.
+
+Scale note: the verification join ships the two full texts of every
+*candidate* pair (not every pair) — at 10^12 docs keep min_len high
+enough that candidates are rare, and cap per-bucket fan-out via the
+same max_bucket_size chain logic as MinHash banding.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+from ..functions.substring import document_fingerprints, longest_common_substring_len
+from .lsh import candidate_pairs
+
+
+def fingerprint_col(text_col: str, k: int, w: int) -> F.Column:
+    @F.pandas_udf("array<long>")
+    def _fp(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in texts:
+            out = [
+                document_fingerprints(t, k, w).view(np.int64) for t in batch.tolist()
+            ]
+            yield pd.Series(out)
+
+    return _fp(F.col(text_col))
+
+
+def substring_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 23,
+    k: int = 16,
+    cfg: DedupConfig | None = None,
+) -> DataFrame:
+    """(a, b, common_len) for pairs sharing a substring >= min_len chars.
+
+    min_len must be >= k; window w = min_len − k + 1.
+    """
+    cfg = cfg or DedupConfig()
+    if min_len < k:
+        raise ValueError(f"min_len must be >= k ({k})")
+    w = min_len - k + 1
+
+    fps = df.select(
+        F.col(id_col).alias("_id"), fingerprint_col(text_col, k, w).alias("fps")
+    )
+    banded = fps.select(
+        "_id", F.lit(0).alias("band_id"), F.explode("fps").alias("band_key")
+    )
+    pairs = candidate_pairs(banded, cfg)
+
+    texts = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    joined = (
+        pairs.join(
+            texts.withColumnRenamed("_id", "a").withColumnRenamed("_text", "text_a"), on="a"
+        )
+        .join(
+            texts.withColumnRenamed("_id", "b").withColumnRenamed("_text", "text_b"), on="b"
+        )
+    )
+
+    @F.pandas_udf("long")
+    def lcs(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                longest_common_substring_len(x or "", y or "")
+                for x, y in zip(ta.tolist(), tb.tolist())
+            ],
+            dtype="int64",
+        )
+
+    return (
+        joined.withColumn("common_len", lcs(F.col("text_a"), F.col("text_b")))
+        .filter(F.col("common_len") >= F.lit(min_len))
+        .select("a", "b", "common_len")
+    )

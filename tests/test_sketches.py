@@ -1,0 +1,196 @@
+"""F4 sketch-semantics fixtures (FIXTURES.md) — reference-derived test
+gates for countmin / bloom / tdigest / HLL / frequencies."""
+
+import numpy as np
+import pytest
+
+from datasketches_rust_spark.functions.bloom import BloomFilter
+from datasketches_rust_spark.functions.countmin import (
+    CountMinSketch,
+    suggest_num_buckets,
+    suggest_num_hashes,
+)
+from datasketches_rust_spark.functions.frequencies import ErrorType, FrequentItemsSketch
+from datasketches_rust_spark.functions.hll import HllSketch
+from datasketches_rust_spark.functions.tdigest import TDigest
+
+
+# -- countmin (`countmin_test.rs:48-59`, `sketch.rs:117-151`) -----------------
+
+
+def test_countmin_sizing():
+    assert suggest_num_buckets(0.2) == 14  # ceil(e/0.2)
+    assert suggest_num_hashes(0.95) == 3  # ceil(ln(1/0.05))
+
+
+def test_countmin_exact_smallweight():
+    cm = CountMinSketch(3, 1024)
+    cm.update("x")
+    cm.update("x", 9)
+    assert cm.estimate("x") >= 10
+    assert cm.lower_bound("x") == cm.estimate("x")
+    assert cm.upper_bound("x") == cm.estimate("x") + int(cm.relative_error * cm.total_weight)
+    assert cm.estimate("never-seen") == 0
+
+
+def test_countmin_merge_and_serde():
+    a = CountMinSketch(3, 256)
+    b = CountMinSketch(3, 256)
+    a.update_batch(["x", "y"], np.array([5, 2]))
+    b.update_batch(["x", "z"], np.array([1, 7]))
+    a.merge(b)
+    assert a.estimate("x") >= 6
+    assert a.total_weight == 15
+    rt = CountMinSketch.deserialize(a.serialize())
+    assert (rt.counts == a.counts).all() and rt.total_weight == a.total_weight
+    with pytest.raises(ValueError):
+        a.merge(a)
+    with pytest.raises(ValueError):
+        a.merge(CountMinSketch(4, 256))
+
+
+# -- bloom (`bloom/sketch.rs:571-600`, builder sizing) ------------------------
+
+
+def test_bloom_sizing_reference_doc():
+    bf = BloomFilter.with_accuracy(1000, 0.01)
+    assert bf.num_bits >= 9000
+    assert bf.num_hashes == 7
+
+
+def test_bloom_no_false_negatives_and_ops():
+    bf = BloomFilter.with_accuracy(2000, 0.01)
+    keys = [f"key_{i}" for i in range(1000)]
+    bf.insert_batch(keys)
+    assert bf.contains_batch(keys).all()
+    fp = bf.contains_batch([f"other_{i}" for i in range(5000)]).mean()
+    assert fp < 0.02
+    assert 0 < bf.load_factor() < 1
+    assert bf.estimated_fpp() == pytest.approx(bf.load_factor() ** bf.num_hashes)
+
+    other = BloomFilter(bf.num_bits, bf.num_hashes, bf.seed)
+    other.insert_batch(["zzz"])
+    bf.union(other)
+    assert bf.contains("zzz")
+    with pytest.raises(ValueError):
+        bf.union(BloomFilter(128, 3))
+    rt = BloomFilter.deserialize(bf.serialize())
+    assert (rt.words == bf.words).all()
+
+
+# -- tdigest (`tdigest_test.rs:69-114`) ---------------------------------------
+
+
+def test_tdigest_many_values_gates():
+    n = 10000
+    td = TDigest(200)
+    td.update_batch(np.arange(n, dtype=np.float64))
+    assert td.total_weight() == n
+    assert td.min == 0.0 and td.max == n - 1
+    assert td.rank(0.0) == pytest.approx(0.0, abs=1e-4)
+    assert td.rank(n / 4) == pytest.approx(0.25, abs=1e-4)
+    assert td.rank(n / 2) == pytest.approx(0.5, abs=1e-4)
+    assert td.rank(n * 3 / 4) == pytest.approx(0.75, abs=1e-4)
+    assert td.rank(float(n)) == 1.0
+    assert td.quantile(0.0) == 0.0
+    assert td.quantile(0.5) == pytest.approx(n / 2, rel=0.03)
+    assert td.quantile(0.9) == pytest.approx(n * 0.9, rel=0.01)
+    assert td.quantile(0.95) == pytest.approx(n * 0.95, rel=0.01)
+    assert td.quantile(1.0) == n - 1
+    pmf = td.pmf([n / 2.0])
+    assert pmf[0] == pytest.approx(0.5, abs=1e-4)
+    assert pmf[1] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_tdigest_nan_inf_ignored_and_merge():
+    td = TDigest(100)
+    td.update(float("nan"))
+    td.update(float("inf"))
+    assert td.is_empty()
+    a = TDigest(100)
+    b = TDigest(100)
+    a.update_batch(np.arange(0, 5000, dtype=np.float64))
+    b.update_batch(np.arange(5000, 10000, dtype=np.float64))
+    a.merge(b)
+    assert a.total_weight() == 10000
+    assert a.min == 0.0 and a.max == 9999.0
+    assert a.quantile(0.5) == pytest.approx(5000, rel=0.05)
+    rt = TDigest.deserialize(a.serialize())
+    assert rt.total_weight() == 10000
+    assert rt.quantile(0.5) == a.quantile(0.5)
+
+
+# -- HLL (`hll_update_test.rs:22-77`, union laws `hll_union_test.rs`) ---------
+
+
+@pytest.mark.parametrize("lg_k,n,gate", [(12, 100, 20), (12, 600, 100), (10, 1000, 150)])
+def test_hll_accuracy_gates(lg_k, n, gate):
+    s = HllSketch(lg_k)
+    s.update_u64s(np.arange(n, dtype=np.uint64))
+    assert abs(s.estimate() - n) <= gate
+    assert s.lower_bound(2) <= s.estimate() <= s.upper_bound(2)
+
+
+def test_hll_union_laws():
+    def mk(lo, hi):
+        s = HllSketch(11)
+        s.update_u64s(np.arange(lo, hi, dtype=np.uint64))
+        return s
+
+    ab = mk(0, 500).union(mk(300, 900))
+    ba = mk(300, 900).union(mk(0, 500))
+    assert (ab.registers == ba.registers).all()
+    aa = mk(0, 500).union(mk(0, 500))
+    assert (aa.registers == mk(0, 500).registers).all()
+    # union equals single-stream sketch (register-exact, same hash)
+    both = mk(0, 900)
+    assert (ab.registers == both.registers).all()
+    with pytest.raises(ValueError):
+        HllSketch(11, seed=1).union(HllSketch(11, seed=2))
+
+
+def test_hll_mixed_lgk_downsample():
+    big = HllSketch(12)
+    big.update_u64s(np.arange(2000, dtype=np.uint64))
+    small = HllSketch(10)
+    small.update_u64s(np.arange(1000, 3000, dtype=np.uint64))
+    u = big.union(small)
+    assert u.lg_k == 10
+    assert abs(u.estimate() - 3000) / 3000 < 0.15
+
+
+def test_hll_serde_roundtrip():
+    s = HllSketch(12)
+    s.update_strings([f"value_{i}" for i in range(5000)])
+    rt = HllSketch.deserialize(s.serialize())
+    assert rt.lg_k == s.lg_k and (rt.registers == s.registers).all()
+    with pytest.raises(ValueError):
+        HllSketch.deserialize(b"\x03" + s.serialize()[1:])
+
+
+# -- frequencies exact regime (`frequencies_update_test.rs:93-104`) -----------
+
+
+def test_frequencies_exact_regime():
+    sk = FrequentItemsSketch(64)
+    sk.update(1, 5)
+    sk.update(2, 1)
+    assert sk.is_exact()
+    assert sk.estimate(1) == 5 and sk.lower_bound(1) == 5 and sk.upper_bound(1) == 5
+    items = sk.frequent_items(ErrorType.NO_FALSE_POSITIVES, threshold=3)
+    assert [i[0] for i in items] == [1]
+
+
+def test_frequencies_purge_and_merge():
+    sk = FrequentItemsSketch(16)
+    for i in range(100):
+        sk.update(f"item_{i}")
+    assert len(sk.counters) <= sk.purge_threshold
+    assert sk.maximum_error > 0
+    heavy = FrequentItemsSketch(16)
+    heavy.update("big", 1000)
+    sk.merge(heavy)
+    assert heavy.estimate("big") == 1000
+    assert sk.upper_bound("big") >= 1000
+    rt = FrequentItemsSketch.deserialize(sk.serialize())
+    assert rt.offset == sk.offset and rt.counters == sk.counters

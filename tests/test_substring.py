@@ -1,0 +1,109 @@
+"""Substring-match tests: kernel vs brute force, Spark operator vs
+all-pairs oracle on planted shared runs."""
+
+import string
+
+import numpy as np
+import pytest
+
+from datasketches_rust_spark.functions.substring import (
+    document_fingerprints,
+    kgram_hashes,
+    longest_common_substring_len,
+    suffix_array,
+    winnow,
+)
+
+
+def _brute_lcs(a: str, b: str) -> int:
+    best = 0
+    for i in range(len(a)):
+        for j in range(len(b)):
+            k = 0
+            while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                k += 1
+            best = max(best, k)
+    return best
+
+
+def test_lcs_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    alphabet = list("abcd ")
+    for _ in range(30):
+        a = "".join(rng.choice(alphabet, int(rng.integers(0, 60))))
+        b = "".join(rng.choice(alphabet, int(rng.integers(0, 60))))
+        assert longest_common_substring_len(a, b) == _brute_lcs(a, b), (a, b)
+
+
+def test_suffix_array_correct():
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        data = rng.integers(0, 5, size=int(rng.integers(1, 200))).astype(np.int64)
+        sa = suffix_array(data)
+        suffixes = sorted(range(len(data)), key=lambda i: data[i:].tobytes())
+        assert sa.tolist() == suffixes
+
+
+def test_winnowing_guarantee():
+    # any shared run of length >= k + w - 1 must share a fingerprint
+    rng = np.random.default_rng(7)
+    alphabet = list(string.ascii_lowercase + " ")
+    k, w = 16, 8
+    for trial in range(10):
+        shared = "".join(rng.choice(alphabet, k + w - 1))
+        a = "".join(rng.choice(alphabet, 120)) + shared + "".join(rng.choice(alphabet, 60))
+        b = "".join(rng.choice(alphabet, 80)) + shared + "".join(rng.choice(alphabet, 90))
+        fa = set(document_fingerprints(a, k, w))
+        fb = set(document_fingerprints(b, k, w))
+        assert fa & fb, f"trial {trial}: winnowing guarantee violated"
+
+
+def test_kgram_edges():
+    assert len(kgram_hashes(b"short", 16)) == 0
+    assert len(document_fingerprints("", 16, 8)) == 0
+    assert len(document_fingerprints(None, 16, 8)) == 0
+    h = kgram_hashes(b"x" * 16, 16)
+    assert len(h) == 1
+    assert (winnow(h, 8) == h).all()
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = np.random.default_rng(99)
+    alphabet = list(string.ascii_lowercase + " ")
+
+    def rand_s(n):
+        return "".join(rng.choice(alphabet, n))
+
+    shared1 = rand_s(40)
+    shared2 = rand_s(25)
+    docs = [
+        (0, rand_s(150) + shared1 + rand_s(100)),
+        (1, rand_s(120) + shared1 + rand_s(90)),
+        (2, rand_s(200)),
+        (3, rand_s(80) + shared2 + rand_s(110)),
+        (4, rand_s(95) + shared2 + rand_s(60)),
+        (5, rand_s(300)),
+        (6, ""),
+    ]
+    return docs, spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_spark_substring_pairs_vs_oracle(planted):
+    from datasketches_rust_spark.operators.substring_match import substring_match_pairs
+
+    docs, df = planted
+    got = {
+        (r.a, r.b): r.common_len
+        for r in substring_match_pairs(df, "doc_id", "text", min_len=23).collect()
+    }
+    # oracle: brute-force all pairs
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            l = longest_common_substring_len(docs[i][1], docs[j][1])
+            if l >= 23:
+                want[(docs[i][0], docs[j][0])] = l
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] >= 40
+    assert (3, 4) in got and got[(3, 4)] >= 25
