@@ -171,6 +171,44 @@ def _q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash_col("text", SimHashConfig()).alias("simhash"))
 
 
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_rust_spark.operators.textstats import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), F.col("jaccard")
+    )
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_rust_spark.operators.textstats import language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return language_id(docs, "doc_id", "text")
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_rust_spark.operators.textstats import quality_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return quality_scores(docs, "doc_id", "text")
+
+
+def _q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_rust_spark.operators.ann import cosine_topk_bruteforce
+
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce(emb, probes, "vec_id", "embedding", k=5)
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_rust_spark.operators.ann import embedding_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", cosine_threshold=0.9)
+
+
 def _q_substring_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_rust_spark.operators.substring_match import substring_match_pairs
 
@@ -192,6 +230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "simhash_documents": _q_simhash_documents,
         "substring_match_documents": _q_substring_match_documents,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "language_id": _q_language_id,
+        "quality_scores": _q_quality_scores,
+        "ann_topk_embeddings": _q_ann_topk_embeddings,
+        "embedding_neardup": _q_embedding_neardup,
         "tdigest_price_minmax": _q_tdigest_price_minmax,
         "tdigest_price_quantiles": _q_tdigest_price_quantiles,
         "countmin_suppkey_weights": _q_countmin_suppkey_weights,
@@ -267,8 +310,95 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
         """,
+        "ngram_jaccard_pairs": """
+            WITH tok_arrays AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+                FROM documents
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(arr) >= 3
+                            THEN arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                            ELSE array_to_string(arr, ' ') END AS tok
+                FROM tok_arrays,
+                     UNNEST(CASE WHEN len(arr) >= 3
+                                 THEN range(1, len(arr) - 1)
+                                 ELSE [1] END) AS t(i)
+                WHERE CASE WHEN len(arr) >= 3
+                           THEN arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                           ELSE array_to_string(arr, ' ') END <> ''
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
+                FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE >= 0.5
+        """,
+        "language_id": """
+            WITH scored AS (
+                SELECT doc_id,
+                    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|was|for)\\b')) AS score_en,
+                    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit|ein)\\b')) AS score_de,
+                    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|dans|pour|une)\\b')) AS score_fr,
+                    len(regexp_extract_all(lower(text), '\\b(el|la|los|y|es|en|por|una)\\b')) AS score_es
+                FROM documents
+            )
+            SELECT doc_id,
+                CASE
+                    WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+                    WHEN (CASE WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 1 ELSE 0 END
+                        + CASE WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 1 ELSE 0 END
+                        + CASE WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 1 ELSE 0 END
+                        + CASE WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 1 ELSE 0 END) > 1 THEN 'und'
+                    WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                    WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                    WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                    ELSE 'es'
+                END AS predicted_lang,
+                greatest(score_en, score_de, score_fr, score_es)::BIGINT AS best_score
+            FROM scored
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                length(text)::BIGINT AS n_chars,
+                len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+                length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_alpha,
+                length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+                length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                    / greatest(length(text), 1)::DOUBLE AS alpha_ratio,
+                length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE
+                    / greatest(length(text), 1)::DOUBLE AS space_ratio,
+                length(text)::DOUBLE
+                    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)::DOUBLE
+                    AS chars_per_token
+            FROM documents
+        """,
+        "ann_topk_embeddings": """
+            WITH scored AS (
+                SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
+                FROM embeddings p, embeddings c
+                WHERE p.vec_id < 10 AND p.vec_id != c.vec_id
+            )
+            SELECT probe_id, neighbor_id, rank FROM (
+                SELECT probe_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id
+                       ) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
         # neardup_text_clusters / simhash_documents / tdigest quantiles /
-        # hll estimates: murmur-seeded LSH + CC / estimation-regime
-        # sketches — not SQL-expressible; driver records rows-only
-        # checks, pytest covers them (NumPy oracle + tolerance gates).
+        # hll estimates / embedding_neardup (LSH subset of exact pairs):
+        # murmur-seeded LSH + CC / estimation-regime sketches — not
+        # SQL-expressible; driver records rows-only checks, pytest
+        # covers them (NumPy oracle + tolerance gates).
     }

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (training-pipeline ops).
+
+* ``cosine_topk_bruteforce`` — exact top-k neighbors for a (small)
+  probe set: broadcast the probes, cross-join against the corpus, and
+  compute cosine entirely with built-in higher-order functions
+  (``zip_with`` + ``aggregate`` — JVM-side, whole-stage codegen, no
+  Python in the scoring loop). The window top-k breaks score ties on
+  neighbor id, so output is deterministic. This is the correctness
+  baseline: O(|probes| × |corpus|) scales only while probes stay
+  broadcastable.
+* ``embedding_neardup_pairs`` — the scale path: random-hyperplane
+  SimHash of each embedding (functions/simhash.py, seeded planes) →
+  Hamming chunk banding → candidate pairs (the same bucket machinery
+  as MinHash/phash LSH) → exact cosine verification JVM-side. At
+  10^12 rows only the LSH variant survives; the brute-force operator
+  exists to measure its recall.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, SimHashConfig
+from ..functions.simhash import simhash_vectors
+from .lsh import candidate_pairs
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """(probe_id, neighbor_id, rank) — exact cosine top-k, self excluded."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pvec"),
+    )
+    scored = (
+        c.join(F.broadcast(p))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("pvec"), F.col("cvec")) / (_norm(F.col("pvec")) * _norm(F.col("cvec"))),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_simhash_col(vec_col: str, cfg: SimHashConfig, dim: int) -> F.Column:
+    @F.pandas_udf("long")
+    def _sim(vecs: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in vecs:
+            mat = np.stack(
+                [np.asarray(v, np.float64) if v is not None else np.zeros(dim) for v in batch]
+            )
+            yield pd.Series(simhash_vectors(mat, cfg).view(np.int64))
+
+    return _sim(F.col(vec_col))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.9,
+    cfg: DedupConfig | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """(a, b, cosine) pairs with cosine >= threshold, found via
+    SimHash chunk-banding LSH and verified exactly JVM-side."""
+    cfg = cfg or DedupConfig()
+    sh = cfg.simhash
+    width = 64 // sh.num_chunks
+    mask = (1 << width) - 1
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+        embedding_simhash_col(vec_col, sh, dim).alias("_sim"),
+    ).localCheckpoint(eager=True)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.shiftrightunsigned("_sim", j * width).bitwiseAND(F.lit(mask)).alias("band_key"),
+            )
+            for j in range(sh.num_chunks)
+        ]
+    )
+    banded = sigs.select("_id", F.explode(chunks).alias("c")).select(
+        "_id", "c.band_id", "c.band_key"
+    )
+    pairs = candidate_pairs(banded, cfg)
+    vecs = sigs.select("_id", "_vec")
+    return (
+        pairs.join(vecs.withColumnRenamed("_id", "a").withColumnRenamed("_vec", "va"), on="a")
+        .join(vecs.withColumnRenamed("_id", "b").withColumnRenamed("_vec", "vb"), on="b")
+        .withColumn(
+            "cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        )
+        .filter(F.col("cosine") >= F.lit(cosine_threshold))
+        .select("a", "b", "cosine")
+    )

@@ -97,6 +97,63 @@ def near_dup_text_clusters(
     return assign_clusters(all_ids, edges, cfg)
 
 
+def resumable_near_dup_pipeline(
+    spark,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    workdir: str,
+    cfg: DedupConfig | None = None,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Checkpointed flagship pipeline (north rule: "resumes mid-banding
+    without recomputing sketches").
+
+    Three checkpointed stages in ``workdir`` (signatures → edges →
+    clusters), each bucket-partitioned with a manifest + metrics table
+    (sources/checkpoint.py). A killed run re-executes only the buckets
+    its manifest lacks; completed signature buckets are read back from
+    parquet, never recomputed — the Spark analog of the reference's
+    serialize/validate/deserialize resume ladder (SURVEY.md §3.3).
+    """
+    from ..sources.checkpoint import CheckpointManager
+
+    cfg = cfg or DedupConfig()
+    cp = CheckpointManager(workdir, num_buckets)
+
+    def compute_signatures(slice_df: DataFrame) -> DataFrame:
+        sigs = text_signatures(slice_df, id_col, text_col, cfg)
+        # bucket is a pure function of the id — recompute, don't join
+        return sigs.withColumn("_bucket", cp.bucket_col("_id"))
+
+    sigs = cp.run_stage(
+        spark, "signatures", df, id_col, compute_signatures,
+        lineage={"input": "source", "config": repr(cfg.minhash)},
+    ).localCheckpoint(eager=True)
+
+    def compute_edges(_slice: DataFrame) -> DataFrame:
+        edges = verified_text_pairs(sigs, cfg)
+        return edges.withColumn("_bucket", cp.bucket_col("a"))
+
+    # edges depend on ALL signatures (banding is global); bucket-resume
+    # applies to the write, recompute is all-or-nothing per run
+    edge_input = sigs.select(F.col("_id").alias(id_col))
+    edges = cp.run_stage(
+        spark, "edges", edge_input, id_col, lambda s: compute_edges(s),
+        lineage={"input": "signatures", "config": repr(cfg.minhash)},
+    )
+
+    def compute_clusters(_slice: DataFrame) -> DataFrame:
+        all_ids = df.select(F.col(id_col).alias("id"))
+        out = assign_clusters(all_ids, edges.select("a", "b"), cfg)
+        return out.withColumn("_bucket", cp.bucket_col("id"))
+
+    return cp.run_stage(
+        spark, "clusters", df.select(F.col(id_col).alias("id")), "id",
+        compute_clusters, lineage={"input": "edges"},
+    )
+
+
 def near_dup_image_pairs(df: DataFrame, id_col: str, phash_col: str, cfg: DedupConfig) -> DataFrame:
     """Hamming-LSH candidate pairs over a 64-bit perceptual-hash column.
 

@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data pipelines: exact n-gram
+Jaccard dedup, language identification, quality scoring.
+
+All of these are pure DataFrame/SQL plans (no UDFs) so they stay
+inside whole-stage codegen AND are DuckDB-oracle-expressible — the
+exact counterparts of the estimation-regime sketch operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# language-specific stopword markers for the n-gram/stopword heuristic;
+# deterministic and SQL-expressible (the classifier contract is
+# determinism + cross-engine parity, not linguistic accuracy)
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in|is|was|for)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein)\b",
+    "fr": r"\b(le|la|les|et|est|dans|pour|une)\b",
+    "es": r"\b(el|la|los|y|es|en|por|una)\b",
+}
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-3-gram-shingle Jaccard pairs >= threshold via the
+    distributed shingle-join algorithm: distinct (doc, shingle) →
+    self-join on shingle → |A ∩ B| per pair → Jaccard with per-doc
+    set sizes. Texts with < 3 tokens contribute one whole-text
+    shingle (the MinHash kernel's convention, functions/minhash.py).
+
+    Exact (oracle-checkable) counterpart of MinHash-LSH dedup. Scale
+    note: the shingle self-join is quadratic in the document frequency
+    of the hottest shingle — at web scale apply a document-frequency
+    cap (prefix filtering) before the join; here exactness wins
+    because the oracle compares values.
+    Returns (a, b, jaccard).
+    """
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("_id"), arr.alias("_arr"))
+    shingle_arr = F.when(
+        F.size("_arr") >= 3,
+        F.expr("transform(sequence(0, size(_arr) - 3), i -> concat_ws(' ', slice(_arr, i + 1, 3)))"),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("_arr"))))
+    toks = (
+        base.select("_id", F.explode(shingle_arr).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        toks.alias("x")
+        .join(toks.alias("y"), on="tok")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .groupBy(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "a").withColumnRenamed("n", "na"), on="a")
+        .join(sizes.withColumnRenamed("_id", "b").withColumnRenamed("n", "nb"), on="b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a", "b", "jaccard")
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-marker language classifier: score per language = count
+    of marker-regex matches, predict argmax (ties → 'und', zero hits →
+    'und'). Deterministic, JVM-side, SQL-expressible.
+    Returns (id, predicted_lang, best_score).
+    """
+    t = F.lower(F.col(text_col))
+    scores = [
+        F.regexp_count(t, F.lit(rx)).alias(f"score_{lang}") for lang, rx in LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    # deterministic argmax: ties (or zero hits) classify as 'und'
+    n_at_best = sum(
+        F.when(F.col(f"score_{lg}") == best, 1).otherwise(0) for lg in langs
+    )
+    pred = F.when(best == 0, F.lit("und")).when(n_at_best > 1, F.lit("und"))
+    for lg in langs:
+        pred = pred.when(F.col(f"score_{lg}") == best, F.lit(lg))
+    return scored.select(
+        F.col(id_col),
+        pred.alias("predicted_lang"),
+        best.cast("long").alias("best_score"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality metrics (length, token stats, char-class
+    ratios) — all built-ins, all SQL-expressible.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("long")
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("long")
+    n_digit = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("long")
+    n_space = F.length(F.regexp_replace(t, "[^ ]", "")).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        (n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")).alias("alpha_ratio"),
+        (n_space.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")).alias("space_ratio"),
+        (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")).alias("chars_per_token"),
+    )

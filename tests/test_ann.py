@@ -1,0 +1,54 @@
+"""Embedding similarity tests: brute-force top-k determinism and
+LSH near-dup recall on planted near-identical vectors."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def planted_embeddings(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((40, 64))
+    rows = []
+    vid = 0
+    truth_pairs = set()
+    for i in range(40):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append((vid, v.tolist()))
+        first = vid
+        vid += 1
+        if i % 4 == 0:  # plant a near-duplicate (cosine ~0.999)
+            nd = v + 0.02 * rng.standard_normal(64)
+            nd = nd / np.linalg.norm(nd)
+            rows.append((vid, nd.tolist()))
+            truth_pairs.add((first, vid))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, truth_pairs
+
+
+def test_embedding_neardup_recall(planted_embeddings):
+    from datasketches_rust_spark.operators.ann import embedding_neardup_pairs
+
+    df, truth = planted_embeddings
+    got = {
+        (r.a, r.b)
+        for r in embedding_neardup_pairs(df, cosine_threshold=0.98).collect()
+    }
+    assert truth <= got, f"missed planted near-dups: {truth - got}"
+    # verification bound: every reported pair really is above threshold
+    for r in embedding_neardup_pairs(df, cosine_threshold=0.98).collect():
+        assert r.cosine >= 0.98
+
+
+def test_topk_deterministic_and_self_excluded(planted_embeddings):
+    from datasketches_rust_spark.operators.ann import cosine_topk_bruteforce
+
+    df, _ = planted_embeddings
+    probes = df.filter(F.col("vec_id") < 3)
+    a = sorted((r.probe_id, r.rank, r.neighbor_id) for r in cosine_topk_bruteforce(df, probes, k=4).collect())
+    b = sorted((r.probe_id, r.rank, r.neighbor_id) for r in cosine_topk_bruteforce(df.repartition(7), probes, k=4).collect())
+    assert a == b
+    assert all(p != n for p, _, n in a)
+    assert len(a) == 3 * 4
