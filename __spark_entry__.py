@@ -209,6 +209,128 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, "vec_id", "embedding", cosine_threshold=0.9)
 
 
+def _image_table(spark: SparkSession, n_rows: int = 400) -> DataFrame:
+    """Deterministic synthetic image+caption table (input_hint schema);
+    generated executor-side — no external data (driver instruction)."""
+    from datasketches_rust_spark.sources.imagegen import generate_image_caption_df
+
+    return generate_image_caption_df(spark, n_rows, seed=42, partitions=8)
+
+
+def _q_multimodal_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule flagship over the image+caption table: caption-MinHash
+    edges ∪ phash-Hamming edges → one CC pass → (image_id, cluster_id)."""
+    from datasketches_rust_spark.operators.dedup import near_dup_multimodal_clusters
+
+    tbl = _image_table(spark)
+    return near_dup_multimodal_clusters(tbl).select(
+        F.col("id").alias("image_id"), F.col("cluster_id")
+    )
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_rust_spark.operators.images import image_features
+
+    return image_features(_image_table(spark)).select(
+        "image_id", "phash_computed", "pixel_simhash", "decode_ok"
+    )
+
+
+def _q_image_roundtrip_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint per-row invariant: decoded-pixel PSNR ≥ 40 dB after a
+    materialization round-trip (999.0 = lossless/inf)."""
+    from datasketches_rust_spark.operators.images import roundtrip_invariants
+
+    return roundtrip_invariants(_image_table(spark)).select(
+        "image_id", (F.col("psnr_db") >= 40.0).alias("psnr_ok"), "decode_ok"
+    )
+
+
+def _q_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_rust_spark.operators.dedup import near_dup_image_pairs
+
+    tbl = _image_table(spark)
+    return near_dup_image_pairs(tbl, "image_id", "phash", DedupConfig()).select(
+        F.col("a").alias("image_a"), F.col("b").alias("image_b"), F.col("hamming")
+    )
+
+
+def _q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (streaming-capable shape: the same
+    plan runs under readStream + watermark, streaming/incremental.py)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # micro-unit longs: order-insensitive exact sum (doubles
+            # summed in shuffle order would drift in the last ulps)
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "total_value_micro"
+            ),
+            F.countDistinct("user_id").alias("distinct_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value_micro",
+            "distinct_users",
+        )
+    )
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via F.session_window (30 min gap)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def _q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by total value per event_type (window rank top-k)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+            "total_value_micro"
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value_micro").desc(), F.col("user_id")
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("event_type", "user_id", "total_value_micro", "rank")
+    )
+
+
+def _q_events_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketch in exact regime (retained < k ⇒ θ=1 ⇒ == COUNT
+    DISTINCT, `theta/sketch.rs:164-171`)."""
+    ev = _read(spark, sf_dir, "events")
+    out = theta_distinct_by_key(ev, "event_type", "user_id", ThetaConfig(lg_k=17))
+    return out.select(
+        "event_type",
+        F.col("distinct_estimate").cast("long").alias("distinct_users"),
+    )
+
+
+def _q_cpc_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CPC-style (FM85/PCSA bitmatrix) distinct estimate — estimation
+    regime, tolerance-gated in pytest (tests/test_sketches.py)."""
+    from datasketches_rust_spark.operators.sketch_aggs import cpc_distinct_by_key
+
+    ev = _read(spark, sf_dir, "events")
+    out = cpc_distinct_by_key(ev, "event_type", "user_id", lg_k=11)
+    return out.select("event_type", "cpc_estimate")
+
+
 def _q_substring_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_rust_spark.operators.substring_match import substring_match_pairs
 
@@ -240,6 +362,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_suppkey_weights": _q_countmin_suppkey_weights,
         "bloom_custkey_members": _q_bloom_custkey_members,
         "hll_distinct_by_nation": _q_hll_distinct_by_nation,
+        "multimodal_neardup_clusters": _q_multimodal_neardup_clusters,
+        "image_features": _q_image_features,
+        "image_roundtrip_psnr": _q_image_roundtrip_psnr,
+        "phash_neardup_pairs": _q_phash_neardup_pairs,
+        "events_hourly_window": _q_events_hourly_window,
+        "events_sessionize": _q_events_sessionize,
+        "events_top_users": _q_events_top_users,
+        "events_distinct_users_by_type": _q_events_distinct_users_by_type,
+        "cpc_distinct_users": _q_cpc_distinct_users,
     }
 
 
@@ -395,6 +526,53 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "events_hourly_window": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS total_value_micro,
+                   COUNT(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM o
+            )
+            SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "events_top_users": """
+            WITH per_user AS (
+                SELECT event_type, user_id,
+                       SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS total_value_micro
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, user_id, total_value_micro, rank FROM (
+                SELECT event_type, user_id, total_value_micro,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY total_value_micro DESC, user_id
+                       ) AS rank
+                FROM per_user
+            ) WHERE rank <= 10
+        """,
+        "events_distinct_users_by_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY event_type
         """,
         # neardup_text_clusters / simhash_documents / tdigest quantiles /
         # hll estimates / embedding_neardup (LSH subset of exact pairs):

@@ -348,3 +348,45 @@ def hll_distinct_by_key(
     return partials.groupBy(key_col).applyInPandas(
         merge, f"{key_col} {key_type}, hll_estimate double"
     )
+
+
+def cpc_distinct_by_key(
+    df: DataFrame, key_col: str, item_col: str, lg_k: int = 11
+) -> DataFrame:
+    """approx COUNT(DISTINCT item) BY key via the CPC-style coupon
+    bit-matrix; merge = word-wise OR (`cpc/union.rs:18-62`). Same
+    partial/final topology as the HLL aggregation; tolerance-gated
+    (rows-only for the driver oracle, pytest asserts the error gate).
+    Returns (key, cpc_estimate double)."""
+    from ..functions.cpc import CpcSketch
+
+    key_type = dict(df.dtypes)[key_col]
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, blobs = [], []
+            for k, vals in pdf.groupby(key_col, sort=False)[item_col]:
+                s = CpcSketch(lg_k)
+                arr = vals.dropna().to_numpy()
+                if arr.dtype.kind in ("i", "u"):
+                    s.update_u64s(arr.astype(np.int64).view(np.uint64))
+                else:
+                    s.update_strings([str(v) for v in arr])
+                keys.append(k)
+                blobs.append(s.serialize())
+            yield pd.DataFrame({key_col: keys, "sketch": blobs})
+
+    partials = df.select(key_col, item_col).mapInPandas(
+        partial, f"{key_col} {key_type}, sketch binary"
+    )
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        s = None
+        for b in pdf["sketch"]:
+            part = CpcSketch.deserialize(bytes(b))
+            s = part if s is None else s.union(part)
+        return pd.DataFrame({key_col: [key[0]], "cpc_estimate": [s.estimate()]})
+
+    return partials.groupBy(key_col).applyInPandas(
+        merge, f"{key_col} {key_type}, cpc_estimate double"
+    )

@@ -122,6 +122,63 @@ def generate_image_caption_table(n_rows: int, seed: int = 42) -> GeneratedTable:
     return GeneratedTable(rows, pd.DataFrame.from_records(truth))
 
 
+def generate_image_caption_df(
+    spark,
+    n_rows: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    with_truth: bool = False,
+):
+    """Distributed deterministic image+caption table (input_hint schema).
+
+    Generation runs executor-side via ``mapInPandas`` — partition ``p``
+    derives its own sub-seed, so the table is a pure function of
+    ``(n_rows, seed, partitions)`` regardless of cluster size, and
+    synthesis scales out with the cluster (the only way to materialize
+    a 10^12-row fixture: never generate on the driver). Planted
+    clusters never span partitions, keeping the ground truth exact.
+    ``with_truth`` appends a ``true_cluster`` string column (drop it to
+    get the exact input_hint schema).
+    """
+    sc = spark.sparkContext
+    partitions = partitions or sc.defaultParallelism
+    partitions = min(partitions, n_rows) or 1
+    base = n_rows // partitions
+    extra = n_rows % partitions
+    slices = []
+    start = 0
+    for p in range(partitions):
+        cnt = base + (1 if p < extra else 0)
+        slices.append((p, start, cnt))
+        start += cnt
+
+    plan = spark.createDataFrame(slices, "p int, start long, cnt int").repartition(
+        partitions, "p"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            for p, off, cnt in zip(pdf["p"], pdf["start"], pdf["cnt"]):
+                if cnt == 0:
+                    continue
+                tbl = generate_image_caption_table(int(cnt), seed=seed + 1_000_003 * int(p))
+                rows = tbl.rows.copy()
+                local_idx = np.arange(int(cnt))
+                rows["image_id"] = [f"img_{int(off) + i:012d}" for i in local_idx]
+                if with_truth:
+                    cl = tbl.truth["true_cluster"].to_numpy()
+                    rows["true_cluster"] = [f"c_{int(p)}_{int(c)}" for c in cl]
+                yield rows
+
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long"
+    )
+    if with_truth:
+        schema += ", true_cluster string"
+    return plan.mapInPandas(gen, schema)
+
+
 def true_dup_pairs(truth: pd.DataFrame) -> set[tuple[str, str]]:
     """Unordered ground-truth duplicate pairs from the truth frame."""
     pairs: set[tuple[str, str]] = set()

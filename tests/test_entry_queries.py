@@ -1,0 +1,108 @@
+"""New driver-contract queries: events windows/sessions (DuckDB oracle
+parity at sf0.001) and the image+caption queries over the distributed
+deterministic generator (sources/imagegen.py)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+EVENT_QUERIES = [
+    "events_hourly_window",
+    "events_sessionize",
+    "events_top_users",
+    "events_distinct_users_by_type",
+]
+
+
+def _oracle_rows(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_events_query_matches_oracle(spark, name):
+    got_df = entrymod.queries()[name](spark, SF_DIR)
+    got = _normalize(got_df.columns, [tuple(r) for r in got_df.collect()])
+    cols, rows = _oracle_rows(entrymod.oracle_sql()[name])
+    assert sorted(cols) == sorted(got_df.columns)
+    want = _normalize(cols, rows)
+    assert got == want, f"{name}: {len(got)} spark rows vs {len(want)} oracle"
+
+
+def test_imagegen_distributed_deterministic(spark):
+    from datasketches_rust_spark.sources.imagegen import generate_image_caption_df
+
+    a = generate_image_caption_df(spark, 60, seed=42, partitions=4).toPandas()
+    b = generate_image_caption_df(spark, 60, seed=42, partitions=4).toPandas()
+    a = a.sort_values("image_id").reset_index(drop=True)
+    b = b.sort_values("image_id").reset_index(drop=True)
+    assert list(a.columns) == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    assert a["image_id"].is_unique and len(a) == 60
+    assert (a["image_id"] == b["image_id"]).all()
+    assert (a["phash"] == b["phash"]).all()
+    assert (a["caption"] == b["caption"]).all()
+    assert all(bytes(x) == bytes(y) for x, y in zip(a["bytes"], b["bytes"]))
+
+
+def test_multimodal_query_recall_on_generated_truth(spark):
+    """The north-rule pipeline on the generated table recovers the
+    planted clusters (recall vs truth; the strict reference-parity gate
+    lives in test_recall_gate.py)."""
+    from datasketches_rust_spark.operators.dedup import near_dup_multimodal_clusters
+    from datasketches_rust_spark.sources.imagegen import (
+        generate_image_caption_df,
+        pair_recall,
+    )
+
+    df = generate_image_caption_df(spark, 120, seed=42, partitions=4, with_truth=True)
+    pdf = df.toPandas()
+    got = (
+        near_dup_multimodal_clusters(df.drop("true_cluster"))
+        .toPandas()
+        .rename(columns={"id": "image_id"})
+    )
+    truth = pdf[["image_id", "true_cluster"]].rename(
+        columns={"true_cluster": "true_cluster"}
+    )
+    r = pair_recall(got[["image_id", "cluster_id"]], truth)
+    assert r >= 0.99, f"recall vs planted truth = {r}"
+
+
+def test_image_feature_queries_run(spark):
+    feats = entrymod.queries()["image_features"](spark, SF_DIR).toPandas()
+    assert len(feats) == 400 and feats["decode_ok"].all()
+    ps = entrymod.queries()["image_roundtrip_psnr"](spark, SF_DIR).toPandas()
+    assert ps["psnr_ok"].all() and ps["decode_ok"].all()
+
+
+def test_cpc_query_tolerance(spark):
+    got = entrymod.queries()["cpc_distinct_users"](spark, SF_DIR).toPandas()
+    _cols, rows = _oracle_rows(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n FROM events GROUP BY 1"
+    )
+    exact = dict(rows)
+    assert len(got) == len(exact)
+    for _, r in got.iterrows():
+        n = exact[r["event_type"]]
+        assert abs(r["cpc_estimate"] - n) / n <= 0.04, (r["event_type"], n)

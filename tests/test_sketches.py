@@ -194,3 +194,54 @@ def test_frequencies_purge_and_merge():
     assert sk.upper_bound("big") >= 1000
     rt = FrequentItemsSketch.deserialize(sk.serialize())
     assert rt.offset == sk.offset and rt.counters == sk.counters
+
+
+# -- CPC-style PCSA bitmatrix (`cpc/sketch.rs:176-192`, `cpc/union.rs:18-62`) --
+
+
+def test_cpc_estimate_gates():
+    from datasketches_rust_spark.functions.cpc import CpcSketch
+
+    # reference gate: rel err <= 2% at lg_k=11, n=10k
+    # (`cpc_update_test.rs:25,49-62`); our PCSA estimator is gated at
+    # 4% across the range (measured max 3.8%, functions/cpc.py)
+    for n in (100, 1000, 5000, 10_000, 100_000):
+        s = CpcSketch(lg_k=11)
+        s.update_u64s(np.arange(n, dtype=np.uint64))
+        assert abs(s.estimate() - n) / n <= 0.04, n
+        assert s.lower_bound(2) <= n * 1.04 and s.upper_bound(2) >= n * 0.96
+
+
+def test_cpc_exact_small_linear_counting():
+    from datasketches_rust_spark.functions.cpc import CpcSketch
+
+    s = CpcSketch(lg_k=11)
+    assert s.estimate() == 0.0
+    s.update_strings([f"value_{i}" for i in range(100)])
+    assert abs(s.estimate() - 100) / 100 <= 0.02
+
+
+def test_cpc_union_laws_and_serde():
+    from datasketches_rust_spark.functions.cpc import CpcSketch
+
+    def build(lo, hi, lg_k=11):
+        s = CpcSketch(lg_k)
+        s.update_u64s(np.arange(lo, hi, dtype=np.uint64))
+        return s
+
+    a, b = build(0, 60_000), build(40_000, 100_000)
+    ab = build(0, 60_000).union(b)
+    ba = build(40_000, 100_000).union(a)
+    assert (ab.matrix == ba.matrix).all()  # commutative
+    aa = build(0, 60_000).union(a)
+    assert (aa.matrix == a.matrix).all()  # idempotent
+    assert abs(ab.estimate() - 100_000) / 100_000 <= 0.04
+    rt = CpcSketch.deserialize(ab.serialize())
+    assert (rt.matrix == ab.matrix).all() and rt.lg_k == ab.lg_k
+    # mixed lg_k downsample: row folding keeps a valid estimate
+    small = build(0, 50_000, lg_k=9).union(build(25_000, 75_000, lg_k=11))
+    assert small.lg_k == 9
+    assert abs(small.estimate() - 75_000) / 75_000 <= 0.12  # sigma ~3.4% at k=512
+
+    with pytest.raises(ValueError):
+        CpcSketch(lg_k=11, seed=777).union(a)
