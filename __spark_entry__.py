@@ -211,10 +211,22 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _image_table(spark: SparkSession, n_rows: int = 400) -> DataFrame:
     """Deterministic synthetic image+caption table (input_hint schema);
-    generated executor-side — no external data (driver instruction)."""
+    generated executor-side — no external data (driver instruction).
+
+    Cached per (application, n_rows) as parquet under /tmp so the four
+    image queries share one generation pass; content is a pure function
+    of (n_rows, seed, partitions), so the cache is read-only-safe."""
+    import os
+
     from datasketches_rust_spark.sources.imagegen import generate_image_caption_df
 
-    return generate_image_caption_df(spark, n_rows, seed=42, partitions=8)
+    app_id = spark.sparkContext.applicationId
+    path = f"/tmp/spark_graft_imgcache/{app_id}_{n_rows}"
+    if not os.path.exists(path):
+        generate_image_caption_df(spark, n_rows, seed=42, partitions=8).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
 
 
 def _q_multimodal_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,6 +343,16 @@ def _q_cpc_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "cpc_estimate")
 
 
+def _q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine baseline (the LSH path's recall oracle)."""
+    from datasketches_rust_spark.operators.ann import cosine_pairs_exact
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_pairs_exact(emb, "vec_id", "embedding", threshold=0.45).select(
+        F.col("a").alias("vec_a"), F.col("b").alias("vec_b"), F.col("cosine")
+    )
+
+
 def _q_substring_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_rust_spark.operators.substring_match import substring_match_pairs
 
@@ -357,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_pairs_exact": _q_embedding_pairs_exact,
         "tdigest_price_minmax": _q_tdigest_price_minmax,
         "tdigest_price_quantiles": _q_tdigest_price_quantiles,
         "countmin_suppkey_weights": _q_countmin_suppkey_weights,
@@ -526,6 +549,14 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "embedding_pairs_exact": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
         """,
         "events_hourly_window": """
             SELECT date_trunc('hour', ts) AS window_start,

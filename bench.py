@@ -4,38 +4,58 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-`value` = total wall time of the headline queries. Per-query seconds in
-"queries". Extra keys (throughput, scaling) are informational.
+`value` = total wall time of the headline queries (steady-state: a
+short warmup pass first absorbs JVM JIT + Python-worker fork + numpy
+import, which otherwise charge ~40 s to whichever query runs first
+and measure the session, not the engine). Per-query seconds in
+"queries".
 
-Set SPARK_GRAFT_SCALING=1 to also run the flagship dedup pipeline at
-local[8] and local[32] on the same input and report scaling efficiency
-(the BASELINE.json north_rule two-cluster-size evidence; full protocol
-in BENCH/BASELINE.md).
+Extra keys (informational):
+  "signature_throughput"  — images/sec of the signature stage (decode
+                            + pixel SimHash + phash + caption MinHash)
+                            over the generated image+caption table —
+                            BASELINE.json metric "images/sec signature
+                            throughput".
+  "scaling"               — the north_rule two-cluster-size evidence:
+                            the full multimodal pipeline AND the
+                            signature stage at local[N] vs local[4N]
+                            (default 2→8; see BASELINE.md for why not
+                            8→32 on this host) on the same generated
+                            input; efficiency = (T_lo/T_hi)/(hi/lo).
+                            Disable with SPARK_GRAFT_SCALING=0; rows
+                            via SPARK_GRAFT_SCALING_ROWS; levels via
+                            SPARK_GRAFT_SCALE_LEVELS.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def make_spark(cpus: int, shuffle_partitions: int | None = None) -> SparkSession:
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("datasketches-rust-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus * 2))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
+    from datasketches_rust_spark.session import make_local_session
+
+    return make_local_session(
+        cpus, shuffle_partitions, app_name="datasketches-rust-spark-bench"
     )
+
+
+def warmup(spark: SparkSession) -> None:
+    """Touch every execution path once (codegen, shuffle, pandas UDF,
+    mapInPandas/Arrow) so timed queries measure steady state."""
+    from datasketches_rust_spark.operators.dedup import near_dup_text_clusters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    near_dup_text_clusters(docs, "doc_id", "text").count()
 
 
 def run_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
@@ -51,21 +71,58 @@ def run_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def dedup_throughput(cpus: int, sf_dir: str) -> tuple[float, int]:
-    """Full flagship pipeline wall time + row count at a parallelism level."""
-    from datasketches_rust_spark.operators.dedup import near_dup_text_clusters
+def _gen_image_input(rows: int) -> str:
+    """Generate (once) the deterministic image+caption scaling input."""
+    path = f"/tmp/spark_graft_bench/images_{rows}"
+    if os.path.exists(path + "/_SUCCESS"):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    from datasketches_rust_spark.sources.imagegen import generate_image_caption_df
 
+    spark = make_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        generate_image_caption_df(spark, rows, seed=42, partitions=128).write.mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        spark.stop()
+    return path
+
+
+def _scaling_run(cpus: int, path: str, warm_path: str) -> dict[str, float]:
+    """Signature stage and full pipeline at one parallelism level, on
+    the direct-read scale path (signatures_direct: pixels never
+    transit the JVM — see that docstring for the measured rationale)."""
+    from datasketches_rust_spark.config import DedupConfig
+    from datasketches_rust_spark.operators.dedup import (
+        near_dup_multimodal_clusters_from_path,
+    )
+    from datasketches_rust_spark.operators.signatures import signatures_direct
+
+    cfg = DedupConfig()
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        n = docs.count()
+        warmup(spark)
+        # warm the exact code path on a small slice (first-touch page
+        # faults and per-worker numpy import otherwise dominate run 1)
+        near_dup_multimodal_clusters_from_path(spark, warm_path, cfg).write.mode(
+            "overwrite"
+        ).format("noop").save()
         t0 = time.perf_counter()
-        near_dup_text_clusters(docs, "doc_id", "text").count()
-        dt = time.perf_counter() - t0
+        signatures_direct(spark, path, cfg.minhash, cfg.simhash).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        sig_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        near_dup_multimodal_clusters_from_path(spark, path, cfg).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        pipe_sec = time.perf_counter() - t0
     finally:
         spark.stop()
-    return dt, n
+    return {"signature_sec": sig_sec, "pipeline_sec": pipe_sec}
 
 
 def main() -> None:
@@ -76,6 +133,7 @@ def main() -> None:
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        warmup(spark)
         timings = run_queries(spark, sf_dir)
     finally:
         spark.stop()
@@ -88,18 +146,41 @@ def main() -> None:
         "sf": sf,
     }
 
-    if os.environ.get("SPARK_GRAFT_SCALING"):
-        t8, n = dedup_throughput(8, sf_dir)
-        t32, _ = dedup_throughput(32, sf_dir)
-        speedup = t8 / t32
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "100000"))
+        path = _gen_image_input(rows)
+        warm_path = _gen_image_input(5000)
+        # N → 4N parallelism (north_rule). Levels 2→8, not 8→32: a pure-
+        # CPU probe measures ~14.5 effective cores on this host (32
+        # advertised; SMT/host capping — see BASELINE.md), so 8→32 has a
+        # hardware speedup ceiling of ~2.2x and cannot evidence job
+        # scaling. 2→8 stays inside the real-core envelope.
+        levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
+        lo, hi = int(levels[0]), int(levels[1])
+        r_lo = _scaling_run(lo, path, warm_path)
+        r_hi = _scaling_run(hi, path, warm_path)
+        sig_speedup = r_lo["signature_sec"] / r_hi["signature_sec"]
+        pipe_speedup = r_lo["pipeline_sec"] / r_hi["pipeline_sec"]
+        result["signature_throughput"] = {
+            "rows": rows,
+            "images_per_sec": round(rows / r_hi["signature_sec"], 1),
+            "at_level": hi,
+        }
         result["scaling"] = {
-            "rows": n,
-            "local8_sec": round(t8, 3),
-            "local32_sec": round(t32, 3),
-            "local8_rows_per_sec": round(n / t8, 1),
-            "local32_rows_per_sec": round(n / t32, 1),
-            "speedup_8_to_32": round(speedup, 3),
-            "efficiency_8_to_32": round(speedup / 4.0, 3),
+            "rows": rows,
+            "levels": [lo, hi],
+            "signature_sec": [round(r_lo["signature_sec"], 2), round(r_hi["signature_sec"], 2)],
+            "signature_images_per_sec": [
+                round(rows / r_lo["signature_sec"], 1),
+                round(rows / r_hi["signature_sec"], 1),
+            ],
+            "signature_efficiency": round(sig_speedup / (hi / lo), 3),
+            "pipeline_sec": [round(r_lo["pipeline_sec"], 2), round(r_hi["pipeline_sec"], 2)],
+            "pipeline_images_per_sec": [
+                round(rows / r_lo["pipeline_sec"], 1),
+                round(rows / r_hi["pipeline_sec"], 1),
+            ],
+            "pipeline_efficiency": round(pipe_speedup / (hi / lo), 3),
         }
 
     print(json.dumps(result))

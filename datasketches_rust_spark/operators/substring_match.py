@@ -47,14 +47,24 @@ def substring_match_pairs(
     id_col: str,
     text_col: str,
     min_len: int = 23,
-    k: int = 16,
+    k: int | None = None,
     cfg: DedupConfig | None = None,
 ) -> DataFrame:
     """(a, b, common_len) for pairs sharing a substring >= min_len chars.
 
     min_len must be >= k; window w = min_len − k + 1.
+
+    k defaults to min_len − 4: a candidate then requires a shared run
+    of >= k chars, so near-min_len runs only. A small k (e.g. 16) with
+    a large window keeps the same guarantee but candidates explode on
+    boilerplate k-grams — measured 343k candidate pairs vs 4.4k at
+    k=26/w=5 on sf0.1 documents (79× verification fan-out for
+    identical output). The stop-gram effect grows with corpus size, so
+    at 10^12 docs small k is fatal, not just slow.
     """
     cfg = cfg or DedupConfig()
+    if k is None:
+        k = max(12, min_len - 4)
     if min_len < k:
         raise ValueError(f"min_len must be >= k ({k})")
     w = min_len - k + 1

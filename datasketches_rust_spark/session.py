@@ -1,0 +1,53 @@
+"""Recommended SparkSession configuration for this engine.
+
+These settings are part of the engine's scale contract — they were
+measured, not guessed (numbers from local[32] on the 200k-row / 3.1 GB
+generated image+caption table, see BASELINE.md bench protocol):
+
+* ``spark.sql.parquet.columnarReaderBatchSize = 256`` — the vectorized
+  parquet reader allocates ``batchSize × avg_value_size`` per binary
+  column batch; at the default 4096 a ~16 KB-avg image ``bytes`` column
+  makes ~64 MB column vectors that grow by re-allocation, collapsing
+  scan throughput ~30×: 181 s vs 5.7 s for one 3.1 GB scan. 256 keeps
+  vectorization for numeric tables while bounding binary batches.
+  (At 10^12 rows the same math applies per executor core — this is a
+  production setting, not a sandbox workaround.)
+* ``spark.sql.execution.arrow.maxRecordsPerBatch = 2048`` — bounds the
+  pandas-UDF Arrow batch for wide binary rows (default 10k rows ×
+  16 KB ≈ 160 MB per batch per worker).
+* AQE on (coalescing + skew-join splitting are the north rule's
+  "AQE-driven skew mitigation").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.parquet.columnarReaderBatchSize": "256",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+}
+
+
+def apply_engine_conf(builder: SparkSession.Builder) -> SparkSession.Builder:
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    return builder
+
+
+def make_local_session(
+    cpus: int,
+    shuffle_partitions: int | None = None,
+    app_name: str = "datasketches-rust-spark",
+    driver_memory: str = "16g",
+) -> SparkSession:
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus * 2))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", driver_memory)
+    )
+    return apply_engine_conf(builder).getOrCreate()

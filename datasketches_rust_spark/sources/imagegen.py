@@ -152,8 +152,10 @@ def generate_image_caption_df(
         slices.append((p, start, cnt))
         start += cnt
 
-    plan = spark.createDataFrame(slices, "p int, start long, cnt int").repartition(
-        partitions, "p"
+    # exactly one slice per partition (hash-repartition would collide
+    # slices into some partitions and leave others empty → skewed files)
+    plan = spark.createDataFrame(
+        spark.sparkContext.parallelize(slices, partitions), "p int, start long, cnt int"
     )
 
     def gen(batches):

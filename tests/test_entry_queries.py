@@ -106,3 +106,31 @@ def test_cpc_query_tolerance(spark):
     for _, r in got.iterrows():
         n = exact[r["event_type"]]
         assert abs(r["cpc_estimate"] - n) / n <= 0.04, (r["event_type"], n)
+
+
+def test_from_path_pipeline_matches_dataframe_pipeline(spark, tmp_path):
+    """The direct-read scale path (signatures_direct → LSH → CC) yields
+    identical cluster assignments to the JVM-read DataFrame pipeline."""
+    from datasketches_rust_spark.operators.dedup import (
+        near_dup_multimodal_clusters,
+        near_dup_multimodal_clusters_from_path,
+    )
+    from datasketches_rust_spark.sources.imagegen import generate_image_caption_df
+
+    path = str(tmp_path / "imgs")
+    generate_image_caption_df(spark, 150, seed=11, partitions=5).write.parquet(path)
+    df = spark.read.parquet(path)
+    a = (
+        near_dup_multimodal_clusters(df, use_pixel_simhash=True)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    b = (
+        near_dup_multimodal_clusters_from_path(spark, path)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert (a["id"] == b["id"]).all()
+    assert (a["cluster_id"] == b["cluster_id"]).all()

@@ -1,0 +1,117 @@
+"""Structured Streaming layer: incremental near-dup equals the batch
+pipeline after the stream drains; watermarked window agg runs."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_rust_spark.sources.imagegen import generate_image_caption_df
+from datasketches_rust_spark.streaming.incremental import (
+    IncrementalNearDup,
+    streaming_event_window_counts,
+    streaming_signatures,
+)
+
+
+def test_incremental_stream_matches_batch(spark, tmp_path):
+    from datasketches_rust_spark.operators.dedup import near_dup_text_clusters
+
+    full = generate_image_caption_df(spark, 120, seed=7, partitions=4).localCheckpoint(
+        eager=True
+    )
+    # two arrival chunks: ids interleaved so clusters SPAN chunks —
+    # the incremental pipeline must link rows across micro-batches
+    src = str(tmp_path / "src")
+    chunk_a = full.filter(F.crc32(F.col("image_id")) % 2 == 0)
+    chunk_b = full.filter(F.crc32(F.col("image_id")) % 2 == 1)
+    chunk_a.write.mode("append").parquet(src)
+
+    inc = IncrementalNearDup(str(tmp_path / "state"))
+    q = inc.run_stream(spark, src, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    chunk_b.write.mode("append").parquet(src)
+    q2 = inc.run_stream(spark, src, str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+
+    got = (
+        inc.clusters(spark)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = (
+        near_dup_text_clusters(full, "image_id", "caption")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 120
+    assert (got["id"] == want["id"]).all()
+    assert (got["cluster_id"] == want["cluster_id"]).all()
+
+
+def test_streaming_signatures_stateless(spark, tmp_path):
+    full = generate_image_caption_df(spark, 40, seed=3, partitions=2)
+    src = str(tmp_path / "sig_src")
+    full.write.parquet(src)
+    stream = spark.readStream.schema(
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long"
+    ).parquet(src)
+    sigs = streaming_signatures(stream, "image_id", "caption")
+    assert sigs.isStreaming
+    out = str(tmp_path / "sig_out")
+    q = (
+        sigs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sig_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas().sort_values("_id").reset_index(drop=True)
+    from datasketches_rust_spark.operators.dedup import text_signatures
+    from datasketches_rust_spark.config import DedupConfig
+
+    want = (
+        text_signatures(full, "image_id", "caption", DedupConfig())
+        .toPandas()
+        .sort_values("_id")
+        .reset_index(drop=True)
+    )
+    assert (got["_id"] == want["_id"]).all()
+    assert all(list(a) == list(b) for a, b in zip(got["signature"], want["signature"]))
+
+
+def test_streaming_window_counts(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = streaming_event_window_counts(stream)
+    assert agg.isStreaming
+    out = str(tmp_path / "ev_out")
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ev_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has closed; with a
+    # single availableNow drain the final watermark leaves the last
+    # 2h of windows open — compare against the batch plan minus those
+    got = spark.read.parquet(out)
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    gp = got.select("window_start", "event_type", "n_events").toPandas()
+    bp = batch.toPandas()
+    merged = gp.merge(bp, on=["window_start", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(gp)  # every emitted window matches batch…
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()  # …exactly

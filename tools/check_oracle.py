@@ -40,13 +40,9 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    from datasketches_rust_spark.session import make_local_session
+
+    spark = make_local_session(8, shuffle_partitions=16, app_name="oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
