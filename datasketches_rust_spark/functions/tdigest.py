@@ -274,3 +274,46 @@ def _check_monotone(points: list[float]) -> None:
     for p in points:
         if np.isnan(p):
             raise ValueError("split points must not be NaN")
+
+
+def deserialize_compat(data: bytes) -> "TDigest":
+    """Decode the PUBLIC tdunning reference-implementation t-digest
+    serialization (big-endian ByteBuffer format; the same cross-
+    implementation contract the reference consumes,
+    `tdigest/sketch.rs:626-718`): type 1 = asBytes() doubles, type 2 =
+    asSmallBytes() floats.
+
+    Layouts:
+      type 1: u32 type, f64 min, f64 max, f64 k, u32 n_centroids,
+              then per centroid (f64 weight, f64 mean)
+      type 2: u32 type, f64 min, f64 max, f32 k, u32 unused,
+              u16 n_centroids, then per centroid (f32 weight, f32 mean)
+    """
+    import struct as _struct
+
+    (ty,) = _struct.unpack_from(">I", data, 0)
+    if ty == 1:
+        mn, mx, kf = _struct.unpack_from(">ddd", data, 4)
+        (n_cent,) = _struct.unpack_from(">I", data, 28)
+        body = np.frombuffer(data, ">f8", count=2 * n_cent, offset=32).reshape(-1, 2)
+        weights = body[:, 0].astype(np.float64)
+        means = body[:, 1].astype(np.float64)
+    elif ty == 2:
+        mn, mx = _struct.unpack_from(">dd", data, 4)
+        (kf,) = _struct.unpack_from(">f", data, 20)
+        (n_cent,) = _struct.unpack_from(">H", data, 28)
+        body = np.frombuffer(data, ">f4", count=2 * n_cent, offset=30).reshape(-1, 2)
+        weights = body[:, 0].astype(np.float64)
+        means = body[:, 1].astype(np.float64)
+    else:
+        raise ValueError(f"unknown compat t-digest type {ty}")
+    k = int(kf)
+    if k < 10:
+        raise ValueError("k must be >= 10 in compat format")
+    td = TDigest(k)
+    td.means = means.copy()
+    td.weights = weights
+    td.centroids_weight = float(weights.sum())
+    td.min = float(mn)
+    td.max = float(mx)
+    return td

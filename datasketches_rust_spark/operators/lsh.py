@@ -11,28 +11,41 @@ whole-stage codegen.
 
 Skew/scale controls (the parts that matter at 10^12 rows):
 
-* **bucket cap**: buckets larger than ``max_bucket_size`` would emit
-  O(m²) pairs (the classic LSH skew failure — millions of identical
-  boilerplate captions in one bucket). For those we emit a *sorted
-  chain* (consecutive-id pairs, O(m)) instead of the clique: the
-  connected components downstream are identical as long as chain
-  edges survive verification — over-cap buckets hold rows whose
-  ``rows_per_band`` signature slots all collide, i.e. near-certain
-  duplicates, so chained pairs bypass the Jaccard filter (flagged
-  ``chained=1``, never silently dropped, SURVEY.md §7).
+* **hot-bucket stratification**: a cheap ``count`` pre-pass finds
+  buckets larger than ``max_bucket_size`` (the classic LSH skew
+  failure — millions of identical boilerplate captions in one
+  bucket); the hot-key list is tiny at any scale and is BROADCAST.
+  Normal buckets take the clique path (``collect_set`` is bounded by
+  the cap, so the agg buffer can never blow up an executor); hot
+  buckets take a window ``lead`` chain — consecutive-id pairs, O(m)
+  instead of the O(m²) clique, computed by a partition sort with NO
+  set materialization. This count-then-stratify plan is the exact
+  engineering the SURVEY's frequent-items-driven salting calls for
+  (an exact count pre-pass instead of an MG estimate — same shuffle
+  cost here because the count agg is map-side partial).
+* **chain semantics**: the connected components downstream are
+  identical as long as chain edges survive verification — over-cap
+  text buckets hold rows whose ``rows_per_band`` signature slots all
+  collide, i.e. near-certain duplicates, so chained text pairs bypass
+  the Jaccard filter (flagged ``chained=1``, never silently dropped,
+  SURVEY.md §7). Image-family chains still verify by exact Hamming.
 * **dedup across bands**: the same pair found in b bands is emitted b
   times; one ``groupBy(a, b)`` de-duplicates before the (expensive)
   verification join.
 * AQE (skew-join splitting + partition coalescing) handles residual
-  skew at runtime; the cap bounds the worst case before AQE sees it.
+  skew at runtime; the stratification bounds the worst case before
+  AQE sees it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig
+
+# family codes for fused multi-family banding (operators/dedup.py)
+FAMILY_TEXT, FAMILY_PHASH, FAMILY_PIXEL = 0, 1, 2
 
 
 def explode_bands(df: DataFrame, id_col: str, bands_col: str = "bands") -> DataFrame:
@@ -47,81 +60,72 @@ def explode_bands(df: DataFrame, id_col: str, bands_col: str = "bands") -> DataF
     )
 
 
+def _clique_expr():
+    # built lazily: F.expr needs an active SparkContext
+    return F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "  transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
+        "    named_struct('a', x, 'b', y))))"
+    )
+
+
+def _stratified_pairs(banded: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
+    """(bucket_cols…, a, b, chained) candidate pairs with hot-bucket
+    stratification (module docstring). ``chained=1`` marks pairs from
+    the over-cap chain path."""
+    counts = banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_n"))
+    hot = counts.filter(F.col("_n") > cap).select(*bucket_cols)
+
+    normal = (
+        banded.join(F.broadcast(hot), bucket_cols, "left_anti")
+        .groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(*bucket_cols, F.explode(_clique_expr()).alias("p"))
+        .select(*bucket_cols, "p.a", "p.b", F.lit(0).alias("chained"))
+    )
+
+    w = Window.partitionBy(*bucket_cols).orderBy("_id")
+    chained = (
+        banded.join(F.broadcast(hot), bucket_cols, "left_semi")
+        .select(*bucket_cols, F.col("_id").alias("a"), F.lead("_id").over(w).alias("b"))
+        .filter(F.col("b").isNotNull() & (F.col("a") < F.col("b")))
+        .select(*bucket_cols, "a", "b", F.lit(1).alias("chained"))
+    )
+    return normal.unionByName(chained)
+
+
 def candidate_pairs(banded: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Distinct candidate id pairs (a < b) from band buckets.
 
-    Pure DataFrame/codegen plan: hash-agg per bucket → conditional
-    clique/chain pair arrays → explode → hash-agg distinct. Works for
-    any orderable id type; output keeps the input id type.
+    Pure DataFrame/codegen plan: count pre-pass → stratified clique /
+    chain emission → hash-agg distinct. Works for any orderable id
+    type; output keeps the input id type.
     """
-    cap = cfg.max_bucket_size
-    buckets = (
-        banded.groupBy("band_id", "band_key")
-        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    clique = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "  transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
-        "    named_struct('a', x, 'b', y, 'chained', 0))))"
-    )
-    chain = F.expr(
-        "zip_with(slice(ids, 1, size(ids) - 1), slice(ids, 2, size(ids) - 1), "
-        "  (x, y) -> named_struct('a', x, 'b', y, 'chained', 1))"
-    )
-    pairs = (
-        buckets.select(
-            F.explode(F.when(F.size("ids") <= cap, clique).otherwise(chain)).alias("p")
-        )
-        .select("p.a", "p.b", "p.chained")
-    )
+    pairs = _stratified_pairs(banded, ["band_id", "band_key"], cfg.max_bucket_size)
     # one row per unordered pair; a pair seen non-chained in any band
     # verifies normally (min wins over the chained flag)
     return pairs.groupBy("a", "b").agg(F.min("chained").alias("chained"))
 
 
-# family codes for fused multi-family banding (operators/dedup.py)
-FAMILY_TEXT, FAMILY_PHASH, FAMILY_PIXEL = 0, 1, 2
-
-
 def multi_family_candidate_pairs(banded: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Candidate pairs from a fused multi-family banded frame
-    ``(_id, family, band_id, band_key)`` — one hash-agg bucket pass and
-    one pair-dedup shuffle for ALL signature families, instead of one
-    pipeline per family (3× the shuffles for identical output; at
-    sandbox scale the fused plan cut the multimodal pipeline's fixed
-    stage cost ~2×, and at 10^12 rows it's 2 fewer full shuffles of
-    the banded fan-out).
+    ``(_id, family, band_id, band_key)`` — one bucket pass and one
+    pair-dedup shuffle for ALL signature families, instead of one LSH
+    pipeline per family (3× the shuffles for identical output; the
+    fused plan cut the multimodal pipeline's fixed stage cost ~2× at
+    sandbox scale, and at 10^12 rows it's 2 fewer full shuffles of the
+    banded fan-out).
 
     Output: (a, b, text_chained, phash_hit, pixel_hit) where
     ``text_chained`` is null (pair never shared a text band) / 0
     (shared a normal text bucket → must pass Jaccard) / 1 (shared an
-    over-cap chained text bucket → pre-verified, see module doc), and
-    ``*_hit`` flag bucket-sharing in the image families (which always
-    verify by exact Hamming — chains never bypass, matching
-    ``near_dup_image_pairs``).
+    over-cap chained text bucket → pre-verified) and ``*_hit`` flag
+    bucket-sharing in the image families (which always verify by exact
+    Hamming — chains never bypass, matching ``near_dup_image_pairs``).
     """
-    cap = cfg.max_bucket_size
-    buckets = (
-        banded.groupBy("family", "band_id", "band_key")
-        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    clique = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "  transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
-        "    named_struct('a', x, 'b', y, 'chained', 0))))"
-    )
-    chain = F.expr(
-        "zip_with(slice(ids, 1, size(ids) - 1), slice(ids, 2, size(ids) - 1), "
-        "  (x, y) -> named_struct('a', x, 'b', y, 'chained', 1))"
-    )
-    pairs = (
-        buckets.select(
-            "family",
-            F.explode(F.when(F.size("ids") <= cap, clique).otherwise(chain)).alias("p"),
-        )
-        .select("family", "p.a", "p.b", "p.chained")
+    pairs = _stratified_pairs(
+        banded, ["family", "band_id", "band_key"], cfg.max_bucket_size
     )
     return pairs.groupBy("a", "b").agg(
         F.min(F.when(F.col("family") == FAMILY_TEXT, F.col("chained"))).alias(

@@ -134,3 +134,30 @@ def test_near_dup_pair_recall_high_jaccard():
     bh = band_hashes(sigs, CFG)
     # high-jaccard pair must share at least one band (b=32, r=4)
     assert (bh[0] == bh[1]).any()
+
+
+def test_candidate_pairs_hot_bucket_stratification(spark):
+    """Over-cap buckets emit sorted chains (O(m), no set
+    materialization); normal buckets emit cliques; pairs seen in both
+    keep the non-chained flag (min wins)."""
+    from datasketches_rust_spark.config import DedupConfig
+    from datasketches_rust_spark.operators.lsh import candidate_pairs
+
+    cfg = DedupConfig()
+    rows = []
+    # hot bucket: 300 ids > cap=256 → chain
+    rows += [(i, 0, 111) for i in range(300)]
+    # normal bucket: 4 ids → clique (ids overlap the hot bucket)
+    rows += [(i, 1, 222) for i in (10, 11, 12, 13)]
+    banded = spark.createDataFrame(rows, "_id long, band_id int, band_key long")
+    got = candidate_pairs(banded, cfg).toPandas()
+    pairs = {(a, b): c for a, b, c in got.itertuples(index=False)}
+    # chain pairs from the hot bucket
+    assert pairs[(0, 1)] == 1 and pairs[(298, 299)] == 1
+    assert (5, 7) not in pairs  # no clique in the hot bucket
+    # full clique from the normal bucket
+    assert pairs[(10, 12)] == 0 and pairs[(11, 13)] == 0
+    # pairs in both strata → min(chained) = 0
+    assert pairs[(10, 11)] == 0 and pairs[(11, 12)] == 0 and pairs[(12, 13)] == 0
+    # 299 chain pairs ∪ 6 clique pairs, 3 overlapping
+    assert len(pairs) == 299 + 6 - 3

@@ -245,3 +245,34 @@ def test_cpc_union_laws_and_serde():
 
     with pytest.raises(ValueError):
         CpcSketch(lg_k=11, seed=777).union(a)
+
+
+# -- tdunning-format cross-implementation golden fixtures --------------------
+
+
+def test_tdigest_reference_fixture_parity():
+    """Decode the reference repo's vendored tdunning-format fixtures
+    (k=100, n=10000, values 0..9999) and reproduce the reference's own
+    rank gates (`tdigest_serialization_test.rs:90-124`)."""
+    import os
+
+    from datasketches_rust_spark.functions.tdigest import deserialize_compat
+
+    base = "/root/reference/datasketches/tests/test_data"
+    if not os.path.isdir(base):
+        pytest.skip("reference fixtures not available")
+    n = 10000
+    for name in (
+        "tdigest_ref_k100_n10000_double.sk",
+        "tdigest_ref_k100_n10000_float.sk",
+    ):
+        with open(f"{base}/{name}", "rb") as f:
+            td = deserialize_compat(f.read())
+        assert td.k == 100, name
+        assert td.total_weight() == n, name
+        assert td.min == 0.0 and td.max == float(n - 1), name
+        assert abs(td.rank(0.0) - 0.0) <= 1e-4, name
+        assert abs(td.rank(n / 4) - 0.25) <= 1e-4, name
+        assert abs(td.rank(n / 2) - 0.5) <= 1e-4, name
+        assert abs(td.rank(n * 3 / 4) - 0.75) <= 1e-4, name
+        assert td.rank(float(n)) == 1.0, name
