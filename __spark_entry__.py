@@ -343,6 +343,18 @@ def _q_cpc_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "cpc_estimate")
 
 
+def _q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with full probe coverage (n_probe == n_cells) — exact,
+    so it shares the brute-force DuckDB oracle."""
+    from datasketches_rust_spark.operators.ann import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, probes, "vec_id", "embedding", k=5, n_cells=8, n_probe=8).select(
+        "probe_id", "neighbor_id", "rank"
+    )
+
+
 def _q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine baseline (the LSH path's recall oracle)."""
     from datasketches_rust_spark.operators.ann import cosine_pairs_exact
@@ -380,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_pairs_exact": _q_embedding_pairs_exact,
+        "ivf_topk_embeddings": _q_ivf_topk_embeddings,
         "tdigest_price_minmax": _q_tdigest_price_minmax,
         "tdigest_price_quantiles": _q_tdigest_price_quantiles,
         "countmin_suppkey_weights": _q_countmin_suppkey_weights,
@@ -536,6 +549,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_topk_embeddings": """
+            WITH scored AS (
+                SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
+                FROM embeddings p, embeddings c
+                WHERE p.vec_id < 10 AND p.vec_id != c.vec_id
+            )
+            SELECT probe_id, neighbor_id, rank FROM (
+                SELECT probe_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id
+                       ) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "ivf_topk_embeddings": """
             WITH scored AS (
                 SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
                        list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine

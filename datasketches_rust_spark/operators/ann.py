@@ -173,3 +173,120 @@ def cosine_pairs_exact(
 
     id_type = dict(df.dtypes)[id_col]
     return v.mapInPandas(score, f"a {id_type}, b {id_type}, cosine double")
+
+
+def _kmeans(mat: np.ndarray, n_cells: int, iters: int = 8, seed: int = 9001) -> np.ndarray:
+    """Tiny deterministic spherical k-means (driver-side, on a sample).
+    Returns L2-normalized centroids (n_cells, d)."""
+    rng = np.random.default_rng(seed)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 10_000,
+    seed: int = 9001,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    ``n_cells`` spherical-k-means cells, score each probe only against
+    its ``n_probe`` nearest cells.
+
+    The scale shape: centroids are trained driver-side on a bounded
+    sample and BROADCAST; cell assignment and scoring are BLAS batches
+    in ``mapInPandas``; the probe×corpus pairing is an equi shuffle
+    join on ``cell`` touching ~``n_probe/n_cells`` of the corpus per
+    probe (vs the full corpus for brute force). With
+    ``n_probe == n_cells`` results equal ``cosine_topk_bruteforce``
+    exactly (tested) — the standard IVF recall/throughput dial.
+
+    Returns (probe_id, neighbor_id, rank, cosine).
+    """
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    sample = corpus.select(id_col, vec_col).sort(id_col).limit(train_sample).collect()
+    mat = np.stack([np.asarray(r[1], np.float64) for r in sample])
+    cents = _kmeans(mat, n_cells, seed=seed)
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+
+    def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = np.stack([np.asarray(x, np.float64) for x in pdf["cvec"]])
+            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            cell = (block @ b_cents.value.T).argmax(axis=1)
+            out = pdf.copy()
+            out["cell"] = cell.astype(np.int32)
+            yield out
+
+    corpus_cells = v.mapInPandas(
+        assign, "neighbor_id long, cvec array<double>, cell int"
+    )
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).cast("array<double>").alias("pvec")
+    )
+
+    def probe_cells(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = np.stack([np.asarray(x, np.float64) for x in pdf["pvec"]])
+            block = block / np.linalg.norm(block, axis=1, keepdims=True)
+            order = np.argsort(-(block @ b_cents.value.T), axis=1)[:, :n_probe]
+            rows = pdf.loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
+            rows["cell"] = order.reshape(-1).astype(np.int32)
+            yield rows
+
+    probe_assign = p.mapInPandas(
+        probe_cells, "probe_id long, pvec array<double>, cell int"
+    )
+
+    joined = probe_assign.join(corpus_cells, on="cell").filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+
+    def score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack([np.asarray(x, np.float64) for x in pdf["pvec"]])
+            b = np.stack([np.asarray(x, np.float64) for x in pdf["cvec"]])
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            b /= np.linalg.norm(b, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "probe_id": pdf["probe_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine": np.round(np.einsum("ij,ij->i", a, b), 6),
+                }
+            )
+
+    scored = joined.mapInPandas(score, "probe_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,81 @@
+"""spark-submit entrypoint for the north-rule near-dup pipeline.
+
+Cluster usage (north_rule: "ships as spark-submit --py-files jobs"):
+
+    cd /root/repo && zip -r /tmp/dsrs.zip datasketches_rust_spark
+    spark-submit --py-files /tmp/dsrs.zip jobs/run_dedup.py \
+        --input  <parquet dir of image+caption rows (input_hint schema)> \
+        --output <parquet dir for (image_id, cluster_id)> \
+        [--workdir <checkpoint dir>]   # resumable mode (bucketed
+                                       # manifests; a killed run only
+                                       # recomputes missing buckets)
+        [--read-path direct|jvm]       # direct (default) = workers read
+                                       # their own parquet splits; see
+                                       # operators/signatures.py
+        [--levels-probe]               # also print images/sec
+
+Locally the same file runs under plain `python` (builds a local
+session with the engine conf).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+# local `python jobs/run_dedup.py` runs resolve the package from the
+# repo root; under spark-submit --py-files the zip is already on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--read-path", choices=["direct", "jvm"], default="direct")
+    ap.add_argument("--local-cpus", type=int, default=None,
+                    help="build a local[N] session (omit under spark-submit)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from datasketches_rust_spark.session import apply_engine_conf, make_local_session
+
+    if args.local_cpus:
+        spark = make_local_session(args.local_cpus, app_name="neardup-job")
+    else:
+        spark = apply_engine_conf(
+            SparkSession.builder.appName("neardup-job")
+        ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from datasketches_rust_spark.operators.dedup import (
+        near_dup_multimodal_clusters,
+        near_dup_multimodal_clusters_from_path,
+        resumable_near_dup_pipeline,
+    )
+
+    t0 = time.perf_counter()
+    if args.workdir:
+        df = spark.read.parquet(args.input)
+        out = resumable_near_dup_pipeline(
+            spark, df, "image_id", "caption", args.workdir
+        )
+    elif args.read_path == "direct":
+        out = near_dup_multimodal_clusters_from_path(spark, args.input)
+    else:
+        df = spark.read.parquet(args.input)
+        out = near_dup_multimodal_clusters(df, use_pixel_simhash=True)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    dt = time.perf_counter() - t0
+    print(f"wrote {n} cluster assignments to {args.output} in {dt:.1f}s "
+          f"({n / dt:.0f} rows/s)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,3 +52,40 @@ def test_topk_deterministic_and_self_excluded(planted_embeddings):
     assert a == b
     assert all(p != n for p, _, n in a)
     assert len(a) == 3 * 4
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """IVF with n_probe == n_cells scores every cell → must equal the
+    exact brute-force top-k (the standard IVF correctness invariant)."""
+    from datasketches_rust_spark.operators.ann import cosine_topk_bruteforce, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 8)
+    want = (
+        cosine_topk_bruteforce(emb, probes, k=5)
+        .toPandas()
+        .sort_values(["probe_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = (
+        ivf_topk(emb, probes, k=5, n_cells=8, n_probe=8)
+        .toPandas()
+        .sort_values(["probe_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (got["probe_id"] == want["probe_id"]).all()
+    assert (got["neighbor_id"] == want["neighbor_id"]).all()
+
+
+def test_ivf_partial_probe_recall(spark):
+    """n_probe = half the cells still recovers most true neighbors."""
+    from datasketches_rust_spark.operators.ann import cosine_topk_bruteforce, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 16)
+    want = cosine_topk_bruteforce(emb, probes, k=5).toPandas()
+    got = ivf_topk(emb, probes, k=5, n_cells=8, n_probe=4).toPandas()
+    w = set(zip(want["probe_id"], want["neighbor_id"]))
+    g = set(zip(got["probe_id"], got["neighbor_id"]))
+    recall = len(w & g) / len(w)
+    assert recall >= 0.6, recall  # random embeddings = worst case for IVF
