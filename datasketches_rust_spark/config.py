@@ -90,14 +90,25 @@ class ThetaConfig:
 
     lg_k: int = 12
     seed: int = DEFAULT_UPDATE_SEED
+    # uniform pre-sampling probability p, (0, 1]; p < 1 starts the
+    # sketch at theta = p*MAX_THETA (`theta/hash_table.rs:400-406`,
+    # builder `theta/sketch.rs:983-1006`)
+    sampling_p: float = 1.0
 
     def __post_init__(self) -> None:
         if not 5 <= self.lg_k <= 26:
             raise ValueError("lg_k must be in [5, 26]")
+        if not 0.0 < self.sampling_p <= 1.0:
+            raise ValueError("sampling_p must be in (0, 1]")
 
     @property
     def k(self) -> int:
         return 1 << self.lg_k
+
+    @property
+    def starting_theta(self) -> int:
+        from .config import MAX_THETA as _MT  # self-import safe at runtime
+        return _MT if self.sampling_p >= 1.0 else int(self.sampling_p * _MT)
 
     @property
     def seed_hash(self) -> int:

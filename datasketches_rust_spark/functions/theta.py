@@ -85,8 +85,11 @@ class ThetaSketch:
 
     @staticmethod
     def from_hashes(hashes: np.ndarray, cfg: ThetaConfig) -> "ThetaSketch":
-        """Build from precomputed theta-convention hashes (h1 >> 1)."""
-        return _canonicalize(hashes, MAX_THETA, cfg.k, cfg.seed_hash)
+        """Build from precomputed theta-convention hashes (h1 >> 1).
+
+        With ``cfg.sampling_p < 1`` the initial theta is p*MAX_THETA —
+        uniform pre-sampling (`theta/hash_table.rs:400-406`)."""
+        return _canonicalize(hashes, cfg.starting_theta, cfg.k, cfg.seed_hash)
 
     @staticmethod
     def from_u64s(vals: np.ndarray, cfg: ThetaConfig) -> "ThetaSketch":

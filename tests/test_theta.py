@@ -129,3 +129,22 @@ def test_estimation_theta_fraction():
     s = ThetaSketch.from_u64s(np.arange(10_000, dtype=np.uint64), cfg)
     assert 0.0 < s.theta / MAX_THETA < 1.0
     assert s.estimate() == pytest.approx(len(s.entries) / (s.theta / MAX_THETA))
+
+
+def test_theta_sampling_probability():
+    """p < 1 pre-samples uniformly: theta starts at p*MAX_THETA and the
+    estimate still recovers n (`theta/hash_table.rs:400-406`)."""
+    import pytest as _pytest
+
+    n = 50_000
+    cfg = ThetaConfig(lg_k=14, sampling_p=0.25)
+    sk = ThetaSketch.from_u64s(np.arange(n, dtype=np.uint64), cfg)
+    assert sk.is_estimation_mode()
+    assert sk.theta <= int(0.25 * MAX_THETA)
+    assert abs(sk.estimate() - n) / n < 0.05
+    assert sk.lower_bound(2) <= n <= sk.upper_bound(2)
+    # exact-regime contrast: p=1, small n
+    exact = ThetaSketch.from_u64s(np.arange(100, dtype=np.uint64), ThetaConfig(lg_k=14))
+    assert exact.estimate() == 100.0
+    with _pytest.raises(ValueError):
+        ThetaConfig(lg_k=12, sampling_p=0.0)
