@@ -333,6 +333,61 @@ def _q_events_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate (ROLLUP event_type → day): subtotal rows
+    carry nulls, exactly as the SQL oracle produces them."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "total_value_micro"
+            ),
+        )
+        .select("event_type", "day", "n_events", "total_value_micro")
+    )
+
+
+def _q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column extraction (props is a JSON varchar): per-type stats
+    of the extracted integer field."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def _q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered window: per-user running event count and value total
+    over time (top-50 users by id to bound output)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+        .over(w)
+        .alias("running_value_micro"),
+    )
+
+
 def _q_cpc_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CPC-style (FM85/PCSA bitmatrix) distinct estimate — estimation
     regime, tolerance-gated in pytest (tests/test_sketches.py)."""
@@ -406,6 +461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_top_users": _q_events_top_users,
         "events_distinct_users_by_type": _q_events_distinct_users_by_type,
+        "events_rollup": _q_events_rollup,
+        "events_json_props": _q_events_json_props,
+        "events_running_total": _q_events_running_total,
         "cpc_distinct_users": _q_cpc_distinct_users,
     }
 
@@ -628,6 +686,33 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM per_user
             ) WHERE rank <= 10
+        """,
+        "events_rollup": """
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS total_value_micro
+            FROM events
+            GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+        """,
+        "events_json_props": """
+            SELECT event_type,
+                   COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "events_running_total": """
+            SELECT user_id, event_id,
+                   COUNT(*) OVER w AS running_n,
+                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w
+                       AS running_value_micro
+            FROM events
+            WHERE user_id < 50
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
         """,
         "events_distinct_users_by_type": """
             SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
