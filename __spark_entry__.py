@@ -206,7 +206,12 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_rust_spark.operators.ann import embedding_neardup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, "vec_id", "embedding", cosine_threshold=0.9)
+    # threshold matched to the data (max pair cosine at sf0.01 is 0.51;
+    # 0.9 would be vacuous); LSH config gives miss-prob ~7e-9 at 0.45
+    # so output == exact all-pairs → shares the exact DuckDB oracle
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", cosine_threshold=0.45
+    ).select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"), F.col("cosine"))
 
 
 def _image_table(spark: SparkSession, n_rows: int = 400) -> DataFrame:
@@ -524,9 +529,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS total_weight
             FROM lineitem
         """,
+        # NOTE: every aggregate SUM below is wrapped in an OUTER
+        # CAST(... AS BIGINT): DuckDB's SUM(BIGINT) yields HUGEINT,
+        # which Arrow materializes as decimal128(38,0) — value-equal to
+        # Spark's int64 but hash-different in the driver's typed compare.
         "countmin_suppkey_weights": """
             SELECT l_suppkey AS suppkey,
-                   SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
             FROM lineitem GROUP BY l_suppkey
         """,
         "bloom_custkey_members": """
@@ -636,6 +645,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
         """,
+        # LSH path at recall ≈ 1 (miss-prob ~7e-9 at this threshold /
+        # band config) ⇒ identical to the exact all-pairs result
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+        """,
         "embedding_pairs_exact": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    ROUND(list_cosine_similarity(
@@ -648,7 +667,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start,
                    event_type,
                    COUNT(*) AS n_events,
-                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS total_value_micro,
+                   CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                       AS total_value_micro,
                    COUNT(DISTINCT user_id) AS distinct_users
             FROM events GROUP BY 1, 2
         """,
@@ -675,7 +695,8 @@ def oracle_sql() -> dict[str, str]:
         "events_top_users": """
             WITH per_user AS (
                 SELECT event_type, user_id,
-                       SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS total_value_micro
+                       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                           AS total_value_micro
                 FROM events GROUP BY 1, 2
             )
             SELECT event_type, user_id, total_value_micro, rank FROM (
@@ -690,14 +711,16 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": """
             SELECT event_type, CAST(ts AS DATE) AS day,
                    COUNT(*) AS n_events,
-                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS total_value_micro
+                   CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                       AS total_value_micro
             FROM events
             GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
         """,
         "events_json_props": """
             SELECT event_type,
                    COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
@@ -705,8 +728,8 @@ def oracle_sql() -> dict[str, str]:
         "events_running_total": """
             SELECT user_id, event_id,
                    COUNT(*) OVER w AS running_n,
-                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w
-                       AS running_value_micro
+                   CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w
+                        AS BIGINT) AS running_value_micro
             FROM events
             WHERE user_id < 50
             WINDOW w AS (

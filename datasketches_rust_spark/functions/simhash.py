@@ -68,6 +68,28 @@ def simhash_vectors(vecs: np.ndarray, cfg: SimHashConfig) -> np.ndarray:
     return (bits << _BITS).sum(axis=1, dtype=np.uint64)
 
 
+def simhash_vectors_multi(
+    vecs: np.ndarray, seed: int, n_reps: int, center: bool = True
+) -> np.ndarray:
+    """(n, n_reps) uint64 — ``n_reps`` independent random-hyperplane
+    SimHashes per row, all drawn from ONE PRNG stream seeded by
+    ``seed + 1`` (deterministic across partitionings / cluster sizes).
+
+    Multiple repetitions are the amplification knob for cosine-LSH at
+    moderate thresholds: a pair with bitwise agreement probability
+    p = 1 − θ/π survives banding with prob 1 − (1 − p^w)^(reps·64/w),
+    so reps × band width trade selectivity against recall without
+    touching the per-hash kernel.
+    """
+    rng = np.random.default_rng(seed + 1)
+    planes = rng.standard_normal((n_reps * 64, vecs.shape[1]))
+    if center:
+        vecs = vecs - vecs.mean(axis=1, keepdims=True)
+    proj = vecs @ planes.T  # (n, n_reps*64)
+    bits = (proj > 0).astype(np.uint64).reshape(len(vecs), n_reps, 64)
+    return (bits << _BITS).sum(axis=2, dtype=np.uint64)
+
+
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Rowwise popcount(a ^ b) — vectorized 64-bit Hamming distance."""
     x = (a ^ b).view(np.uint64)

@@ -25,8 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..config import DedupConfig, SimHashConfig
-from ..functions.simhash import simhash_vectors
+from ..config import DedupConfig
 from .lsh import candidate_pairs
 
 
@@ -70,14 +69,25 @@ def cosine_topk_bruteforce(
     )
 
 
-def embedding_simhash_col(vec_col: str, cfg: SimHashConfig, dim: int) -> F.Column:
-    @F.pandas_udf("long")
+def embedding_multi_simhash_col(vec_col: str, seed: int, n_reps: int, dim: int) -> F.Column:
+    """array<long> of ``n_reps`` independent SimHashes per embedding.
+
+    NOT mean-centered: verification compares raw-vector cosine, and the
+    hyperplane-agreement ↔ angle identity (p = 1 − θ/π) only holds when
+    the hashed vector is the verified vector. (Pixel SimHash centers
+    because its similarity target is the centered feature — different
+    contract, see functions/simhash.py.)
+    """
+    from ..functions.simhash import simhash_vectors_multi
+
+    @F.pandas_udf("array<long>")
     def _sim(vecs: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in vecs:
             mat = np.stack(
                 [np.asarray(v, np.float64) if v is not None else np.zeros(dim) for v in batch]
             )
-            yield pd.Series(simhash_vectors(mat, cfg).view(np.int64))
+            sigs = simhash_vectors_multi(mat, seed, n_reps, center=False).view(np.int64)
+            yield pd.Series(list(sigs))
 
     return _sim(F.col(vec_col))
 
@@ -86,44 +96,74 @@ def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    cosine_threshold: float = 0.9,
+    cosine_threshold: float = 0.45,
     cfg: DedupConfig | None = None,
     dim: int = 64,
+    n_reps: int = 6,
+    band_width: int = 4,
 ) -> DataFrame:
-    """(a, b, cosine) pairs with cosine >= threshold, found via
-    SimHash chunk-banding LSH and verified exactly JVM-side."""
+    """(a, b, cosine) pairs with round(cosine, 6) >= threshold, found
+    via multi-repetition random-hyperplane SimHash banding and verified
+    exactly (BLAS batch, not per-element ``zip_with`` — measured ~50×
+    on the same corpus, see ``cosine_pairs_exact``).
+
+    Recall math: a pair at the threshold has per-bit agreement
+    p = 1 − arccos(t)/π; with ``n_reps·64/band_width`` bands of
+    ``band_width`` bits the miss probability is (1 − p^w)^B — at the
+    default (t=0.45 ⇒ p≈0.649, w=4, B=96) that is ~7e-9, so the LSH
+    output equals the exact all-pairs result (shared DuckDB oracle;
+    recall gate in tests/test_ann.py). Raising the threshold lets
+    fewer/wider bands carry the same recall with far better
+    selectivity — the intended production dial. Scale shape: banding
+    is one explode + the stratified bucket agg of operators/lsh.py;
+    verification shuffles only candidate pairs.
+    """
     cfg = cfg or DedupConfig()
-    sh = cfg.simhash
-    width = 64 // sh.num_chunks
-    mask = (1 << width) - 1
+    seed = cfg.simhash.seed
+    chunks_per_hash = 64 // band_width
+    mask = (1 << band_width) - 1
     sigs = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
-        embedding_simhash_col(vec_col, sh, dim).alias("_sim"),
+        embedding_multi_simhash_col(vec_col, seed, n_reps, dim).alias("_sims"),
     ).localCheckpoint(eager=True)
-    chunks = F.array(
+    bands = F.array(
         *[
             F.struct(
-                F.lit(j).alias("band_id"),
-                F.shiftrightunsigned("_sim", j * width).bitwiseAND(F.lit(mask)).alias("band_key"),
+                F.lit(r * chunks_per_hash + j).alias("band_id"),
+                F.shiftrightunsigned(F.col("_sims")[r], j * band_width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
             )
-            for j in range(sh.num_chunks)
+            for r in range(n_reps)
+            for j in range(chunks_per_hash)
         ]
     )
-    banded = sigs.select("_id", F.explode(chunks).alias("c")).select(
+    banded = sigs.select("_id", F.explode(bands).alias("c")).select(
         "_id", "c.band_id", "c.band_key"
     )
-    pairs = candidate_pairs(banded, cfg)
+    pairs = candidate_pairs(banded, cfg).select("a", "b")
     vecs = sigs.select("_id", "_vec")
-    return (
-        pairs.join(vecs.withColumnRenamed("_id", "a").withColumnRenamed("_vec", "va"), on="a")
-        .join(vecs.withColumnRenamed("_id", "b").withColumnRenamed("_vec", "vb"), on="b")
-        .withColumn(
-            "cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-        )
-        .filter(F.col("cosine") >= F.lit(cosine_threshold))
-        .select("a", "b", "cosine")
-    )
+    joined = pairs.join(
+        vecs.withColumnRenamed("_id", "a").withColumnRenamed("_vec", "va"), on="a"
+    ).join(vecs.withColumnRenamed("_id", "b").withColumnRenamed("_vec", "vb"), on="b")
+
+    def verify(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack([np.asarray(x, np.float64) for x in pdf["va"]])
+            b = np.stack([np.asarray(x, np.float64) for x in pdf["vb"]])
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            b /= np.linalg.norm(b, axis=1, keepdims=True)
+            cos = np.round(np.einsum("ij,ij->i", a, b), 6)
+            keep = cos >= cosine_threshold
+            yield pd.DataFrame(
+                {"a": pdf["a"][keep], "b": pdf["b"][keep], "cosine": cos[keep]}
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return joined.mapInPandas(verify, f"a {id_type}, b {id_type}, cosine double")
 
 
 def cosine_pairs_exact(
@@ -222,6 +262,9 @@ def ivf_topk(
     sample = corpus.select(id_col, vec_col).sort(id_col).limit(train_sample).collect()
     mat = np.stack([np.asarray(r[1], np.float64) for r in sample])
     cents = _kmeans(mat, n_cells, seed=seed)
+    # _kmeans returns min(n_cells, |sample|) centroids; a probe can't
+    # visit more cells than exist
+    n_probe = min(n_probe, len(cents))
     b_cents = spark.sparkContext.broadcast(cents)
 
     v = corpus.select(
@@ -275,11 +318,13 @@ def ivf_topk(
             b = np.stack([np.asarray(x, np.float64) for x in pdf["cvec"]])
             a /= np.linalg.norm(a, axis=1, keepdims=True)
             b /= np.linalg.norm(b, axis=1, keepdims=True)
+            # rank on the UNROUNDED cosine (matches bruteforce and the
+            # DuckDB oracle's ordering); round only the display column
             yield pd.DataFrame(
                 {
                     "probe_id": pdf["probe_id"],
                     "neighbor_id": pdf["neighbor_id"],
-                    "cosine": np.round(np.einsum("ij,ij->i", a, b), 6),
+                    "cosine": np.einsum("ij,ij->i", a, b),
                 }
             )
 
@@ -288,5 +333,5 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "rank", "cosine")
+        .select("probe_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
