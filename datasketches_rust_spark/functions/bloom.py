@@ -95,6 +95,31 @@ class BloomFilter:
     def contains(self, item) -> bool:
         return bool(self.contains_batch([item])[0])
 
+    def contains_and_insert_batch(self, items: list) -> np.ndarray:
+        """One-pass membership-check-then-insert — the dedup idiom of
+        `bloom/sketch.rs:499-543` (query_and_update): returns the
+        PRE-insert presence per row and inserts every item. Duplicate
+        items later in the same batch report present, matching the
+        reference's sequential update order."""
+        bts = [self._to_bytes(i) for i in items]
+        pos = self._bit_positions(items)
+        words, bits = np.divmod(pos, _U64(64))
+        hit = ((self.words[words.astype(np.int64)] >> bits) & _U64(1)).all(axis=1)
+        seen: dict = {}
+        dup = np.zeros(len(bts), dtype=bool)
+        for i, b in enumerate(bts):
+            if b in seen:
+                dup[i] = True
+            else:
+                seen[b] = i
+        np.bitwise_or.at(
+            self.words, words.reshape(-1).astype(np.int64), _U64(1) << bits.reshape(-1)
+        )
+        return hit | dup
+
+    def contains_and_insert(self, item) -> bool:
+        return bool(self.contains_and_insert_batch([item])[0])
+
     # -- set ops (`bloom/sketch.rs:174-253, 314-318`) ------------------------
 
     def _check_compat(self, other: "BloomFilter") -> None:
@@ -132,20 +157,65 @@ class BloomFilter:
     def estimated_fpp(self) -> float:
         return self.load_factor() ** self.num_hashes
 
-    # -- serde (family 21) ----------------------------------------------------
+    # -- serde: reference family-21 wire format ------------------------------
+    # (`bloom/sketch.rs:335-492`): [pre_longs, serVer=1, family=21,
+    # flags] [num_hashes u16 LE][unused u16] [seed u64 LE]
+    # [num_longs i32 LE][unused u32] + non-empty: [num_bits_set u64 LE]
+    # [bit words u64 LE…]. pre_longs 3 empty / 4 non-empty
+    # (`codec/family.rs:85-90`).
+
+    _EMPTY_FLAG = 1 << 2
+    _DIRTY_BITS = 0xFFFFFFFFFFFFFFFF
 
     def serialize(self) -> bytes:
-        head = struct.pack("<BBBxIQ", 21, 1, self.num_hashes, self.num_bits, self.seed)
-        return head + self.words.astype("<u8").tobytes()
+        nbs = self.bits_used()
+        empty = nbs == 0
+        out = struct.pack(
+            "<BBBBHHQiI",
+            3 if empty else 4,
+            1,
+            21,
+            self._EMPTY_FLAG if empty else 0,
+            self.num_hashes,
+            0,
+            self.seed,
+            len(self.words),
+            0,
+        )
+        if not empty:
+            out += struct.pack("<Q", nbs)
+            out += self.words.astype("<u8").tobytes()
+        return out
 
     @staticmethod
     def deserialize(data: bytes) -> "BloomFilter":
-        family, _ver, nh, nb, seed = struct.unpack_from("<BBBxIQ", data, 0)
+        if len(data) < 24:
+            raise ValueError("bloom filter bytes too short")
+        pre_longs, ver, family, flags, nh, _u, seed, num_longs, _u2 = struct.unpack_from(
+            "<BBBBHHQiI", data, 0
+        )
         if family != 21:
             raise ValueError(f"not a bloom filter (family {family})")
-        off = struct.calcsize("<BBBxIQ")
-        words = np.frombuffer(data, dtype="<u8", count=nb // 64, offset=off)
-        return BloomFilter(nb, nh, seed, words.copy())
+        if ver != 1:
+            raise ValueError(f"unsupported bloom serial version {ver}")
+        if not 3 <= pre_longs <= 4:
+            raise ValueError(f"invalid bloom preamble longs {pre_longs}")
+        if not 1 <= nh <= 0x7FFF:
+            raise ValueError(f"invalid num_hashes {nh}")
+        if num_longs <= 0:
+            raise ValueError(f"invalid num_longs {num_longs}")
+        if flags & BloomFilter._EMPTY_FLAG:
+            return BloomFilter(num_longs * 64, nh, seed)
+        (raw_bits_set,) = struct.unpack_from("<Q", data, 24)
+        if len(data) < 32 + num_longs * 8:
+            raise ValueError("truncated bloom bit array")
+        words = np.frombuffer(data, dtype="<u8", count=num_longs, offset=32).copy()
+        # dirty sentinel → recount (`bloom/sketch.rs:474-487`); we always
+        # recount on query, but still validate a clean count
+        if raw_bits_set != BloomFilter._DIRTY_BITS:
+            if (raw_bits_set + 63) // 64 > num_longs:
+                raise ValueError(f"invalid num_bits_set {raw_bits_set}")
+        return BloomFilter(num_longs * 64, nh, seed, words)
 
 
 def _xxhash64_arr_per_row_seed(buf, starts, lengths, seeds) -> np.ndarray:

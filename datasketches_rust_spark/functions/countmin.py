@@ -133,7 +133,22 @@ class CountMinSketch:
         return self
 
     def halve(self) -> None:
+        """Divide every counter AND the total weight by two, truncating
+        toward zero (`countmin/sketch.rs:427-432`; counters are
+        non-negative under the unsigned contract, `value.rs:55-62`)."""
         self.counts //= 2
+        self.total_weight //= 2
+
+    def decay(self, decay: float) -> None:
+        """Multiply every counter (and total weight) by ``decay`` and
+        truncate toward zero (`countmin/sketch.rs:434-458`) — the
+        exponential-forgetting knob for sliding-relevance streams."""
+        from math import isfinite
+
+        if not isfinite(decay) or not 0.0 < decay <= 1.0:
+            raise ValueError("decay must be within (0, 1]")
+        self.counts = np.floor(self.counts * decay).astype(np.int64)
+        self.total_weight = int(self.total_weight * decay)
 
     # -- serde (family 18, `codec/family.rs:36-91`; engine layout) ----------
 

@@ -45,6 +45,9 @@ class FrequentItemsSketch:
     max_map_size: int
     counters: dict = field(default_factory=dict)
     offset: int = 0
+    # total stream weight ever seen (`sketch.rs:53`, serialized at
+    # `sketch.rs:444`); not consulted by estimates, needed for wire parity
+    stream_weight: int = 0
 
     def __post_init__(self) -> None:
         if self.max_map_size & (self.max_map_size - 1):
@@ -56,6 +59,7 @@ class FrequentItemsSketch:
 
     def update(self, item, count: int = 1) -> None:
         self.counters[item] = self.counters.get(item, 0) + count
+        self.stream_weight += count
         if len(self.counters) > self.purge_threshold:
             self._purge()
 
@@ -66,6 +70,7 @@ class FrequentItemsSketch:
             vc = pd.Series(weights.to_numpy(), index=items.to_numpy()).groupby(level=0).sum()
         for item, c in vc.items():
             self.counters[item] = self.counters.get(item, 0) + int(c)
+            self.stream_weight += int(c)
         while len(self.counters) > self.purge_threshold:
             self._purge()
 
@@ -81,6 +86,7 @@ class FrequentItemsSketch:
         for item, c in other.counters.items():
             self.counters[item] = self.counters.get(item, 0) + c
         self.offset += other.offset
+        self.stream_weight += other.stream_weight
         while len(self.counters) > self.purge_threshold:
             self._purge()
         return self
@@ -115,31 +121,104 @@ class FrequentItemsSketch:
         out.sort(key=lambda r: (-r[1], str(r[0])))
         return out
 
-    # -- serde (engine-internal layout; family 10 tag kept for parity
-    #    with `codec/family.rs:36-91`) --------------------------------
+    # -- serde: reference family-10 wire format ------------------------------
+    # (`frequencies/sketch.rs:408-524`, `frequencies/serialization.rs`):
+    # [pre_longs, serVer=1, family=10, lg_max, lg_cur, flags, unused u16]
+    # + non-empty: [active u32][unused u32][stream_weight u64][offset u64]
+    # then all counts (u64 LE) then all items. Items are typed exactly
+    # like the reference's specializations: 'str' = u32 len + utf8 bytes,
+    # 'i64'/'u64' = 8 LE bytes (`serialization.rs:45-110`). Empty blobs
+    # are emitted 8 bytes (Java form) — the reference's own 6-byte empty
+    # encode cannot be read back by its 8-byte-reading decode
+    # (`sketch.rs:417-424` vs `:461-474`), so we side with the decoder.
 
-    def serialize(self) -> bytes:
-        out = bytearray()
+    _LG_MIN_MAP_SIZE = 3  # `frequencies/sketch.rs:40`
+    _EMPTY_FLAG = 5  # `frequencies/serialization.rs:33`
+
+    @property
+    def _lg_max(self) -> int:
+        return self.max_map_size.bit_length() - 1
+
+    def _lg_cur(self) -> int:
+        """Smallest backing-array lg that holds the active items at
+        load factor 0.75, clamped to [LG_MIN, lg_max] — mirrors the
+        hash map's growth schedule."""
+        lg = self._LG_MIN_MAP_SIZE
+        while (1 << lg) * 0.75 < len(self.counters) and lg < self._lg_max:
+            lg += 1
+        return lg
+
+    @staticmethod
+    def _infer_item_type(items) -> str:
+        return "i64" if items and all(isinstance(k, (int, np.integer)) for k in items) else "str"
+
+    def serialize(self, item_type: str | None = None) -> bytes:
+        if item_type is None:
+            item_type = self._infer_item_type(list(self.counters))
+        if not self.counters:
+            return struct.pack(
+                "<BBBBBBH", 1, 1, 10, self._lg_max, self._LG_MIN_MAP_SIZE, self._EMPTY_FLAG, 0
+            )
         items = sorted(self.counters.items(), key=lambda kv: str(kv[0]))
-        out += struct.pack("<BBIq", 10, 1, self.max_map_size, self.offset)
-        out += struct.pack("<I", len(items))
-        for item, c in items:
-            key = str(item).encode("utf-8")
-            out += struct.pack("<Iq", len(key), c)
-            out += key
+        out = bytearray()
+        out += struct.pack("<BBBBBBH", 4, 1, 10, self._lg_max, self._lg_cur(), 0, 0)
+        out += struct.pack("<IIQQ", len(items), 0, self.stream_weight, self.offset)
+        for _item, c in items:
+            out += struct.pack("<Q", c)
+        for item, _c in items:
+            if item_type == "str":
+                key = str(item).encode("utf-8")
+                out += struct.pack("<I", len(key)) + key
+            elif item_type == "i64":
+                out += struct.pack("<q", int(item))
+            elif item_type == "u64":
+                out += struct.pack("<Q", int(item))
+            else:
+                raise ValueError(f"unsupported item type {item_type}")
         return bytes(out)
 
     @staticmethod
-    def deserialize(data: bytes) -> "FrequentItemsSketch":
-        family, _ver, m, offset = struct.unpack_from("<BBIq", data, 0)
+    def deserialize(data: bytes, item_type: str = "str") -> "FrequentItemsSketch":
+        if len(data) < 8:
+            raise ValueError("frequent-items bytes too short")
+        pre_longs, ver, family, lg_max, lg_cur, flags, _u = struct.unpack_from(
+            "<BBBBBBH", data, 0
+        )
+        pre_longs &= 0x3F
         if family != 10:
             raise ValueError(f"not a frequent-items sketch (family {family})")
-        (n,) = struct.unpack_from("<I", data, 14)
-        off = 18
-        counters = {}
+        if ver != 1:
+            raise ValueError(f"unsupported frequencies serial version {ver}")
+        if lg_cur > lg_max:
+            raise ValueError("lg_cur_map_size exceeds lg_max_map_size")
+        if flags & FrequentItemsSketch._EMPTY_FLAG:
+            if pre_longs != 1:
+                raise ValueError(f"invalid empty preamble longs {pre_longs}")
+            return FrequentItemsSketch(1 << lg_max)
+        if pre_longs != 4:
+            raise ValueError(f"invalid preamble longs {pre_longs}")
+        n, _u2, stream_weight, offset = struct.unpack_from("<IIQQ", data, 8)
+        off = 32
+        if len(data) < off + n * 8:
+            raise ValueError("truncated frequencies counts")
+        counts = struct.unpack_from(f"<{n}Q", data, off)
+        off += n * 8
+        items = []
         for _ in range(n):
-            klen, c = struct.unpack_from("<Iq", data, off)
-            off += 12
-            counters[data[off : off + klen].decode("utf-8")] = c
-            off += klen
-        return FrequentItemsSketch(m, counters, offset)
+            if item_type == "str":
+                (klen,) = struct.unpack_from("<I", data, off)
+                off += 4
+                items.append(data[off : off + klen].decode("utf-8"))
+                off += klen
+            elif item_type == "i64":
+                items.append(struct.unpack_from("<q", data, off)[0])
+                off += 8
+            elif item_type == "u64":
+                items.append(struct.unpack_from("<Q", data, off)[0])
+                off += 8
+            else:
+                raise ValueError(f"unsupported item type {item_type}")
+        sk = FrequentItemsSketch(1 << lg_max, dict(zip(items, counts)))
+        sk.stream_weight = stream_weight
+        sk.offset = offset
+        return sk

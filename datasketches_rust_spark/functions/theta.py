@@ -28,11 +28,16 @@ aggregation:
   (`datasketches/src/theta/intersection.rs:64-196`), sorted-array
   intersect since our canonical entries are always sorted (the
   ordered-input early-exit trick of `intersection.rs:152-154`).
-* serialization: byte-compatible with the reference's *uncompressed
-  compact v3* layout (`theta/sketch.rs:501-534`,
-  `theta/serialization.rs:20-30`): preamble longs 1/2/3, serVer 3,
-  family 3, flags (READ_ONLY|COMPACT|EMPTY|ORDERED), LE seed_hash,
-  entry count, theta (estimation mode only), sorted LE u64 entries.
+* serialization: byte-compatible with the reference wire formats —
+  *uncompressed compact v3* encode/decode (`theta/sketch.rs:501-534`),
+  *compressed v4* encode/decode (delta + MSB-first bit-packing,
+  `theta/sketch.rs:536-617,829-914`, `theta/bit_pack.rs:36-158` — the
+  generated pack_bits_N tables are unrolled MSB-first streams, which
+  ``np.packbits``/``np.unpackbits`` reproduce exactly, vectorized),
+  and legacy v1/v2 decode (`theta/sketch.rs:672-775`). ``deserialize``
+  dispatches on the serial-version byte like the reference
+  (`theta/sketch.rs:638-654`); ``serialize_compressed`` applies the
+  same suitability rule (`theta/sketch.rs:486-499`).
 * bounds: binomial confidence bounds
   (`datasketches/src/common/binomial_bounds.rs:288-360`). We port the
   closed forms (theta==1, n==0, n==1, n>120 Gaussian with continuity
@@ -57,15 +62,41 @@ from ..hashes import (
     compute_seed_hash,
     pack_bytes,
     theta_hash_bytes,
+    theta_hash_f64s,
     theta_hash_u64s,
 )
 
 _FAMILY_THETA = 3
-_SERIAL_VERSION = 3
+_SERIAL_VERSION = 3  # uncompressed (`theta/serialization.rs:20`)
+_SERIAL_VERSION_V4 = 4  # compressed (`theta/serialization.rs:21`)
 _FLAG_READ_ONLY = 1 << 1
 _FLAG_EMPTY = 1 << 2
 _FLAG_COMPACT = 1 << 3
 _FLAG_ORDERED = 1 << 4
+# v2 preamble-longs sentinels (`theta/serialization.rs:23-25`)
+_V2_PRE_EMPTY, _V2_PRE_PRECISE, _V2_PRE_ESTIMATE = 1, 2, 3
+
+
+def _pack_bits(values: np.ndarray, bits: int) -> bytes:
+    """MSB-first bitstream of ``bits``-wide values — byte-identical to
+    the reference's ``pack_bits_block``/``BitPacker`` stream
+    (`theta/bit_pack.rs:65-97,161-…`): each value's bits are written
+    high-bit first, consecutively; the final partial byte is
+    zero-padded in its low bits."""
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
+    bitmat = ((values[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bitmat.reshape(-1)).tobytes()
+
+
+def _unpack_bits(data: bytes, n: int, bits: int) -> np.ndarray:
+    """Inverse of :func:`_pack_bits` (`theta/bit_pack.rs:107-158`)."""
+    need = (n * bits + 7) // 8
+    if len(data) < need:
+        raise ValueError("truncated theta v4 delta stream")
+    arr = np.frombuffer(data, np.uint8, count=need)
+    bitstream = np.unpackbits(arr)[: n * bits].reshape(n, bits).astype(np.uint64)
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
+    return (bitstream << shifts).sum(axis=1, dtype=np.uint64)
 
 
 @dataclass(frozen=True)
@@ -94,6 +125,13 @@ class ThetaSketch:
     @staticmethod
     def from_u64s(vals: np.ndarray, cfg: ThetaConfig) -> "ThetaSketch":
         return ThetaSketch.from_hashes(theta_hash_u64s(vals, cfg.seed), cfg)
+
+    @staticmethod
+    def from_f64s(vals: np.ndarray, cfg: ThetaConfig) -> "ThetaSketch":
+        """Float update path: canonical_double then u64 hashing
+        (`theta/sketch.rs:134-152`, `common/mod.rs:31-41`) — NaN/−0.0
+        items hash reference-identically."""
+        return ThetaSketch.from_hashes(theta_hash_f64s(vals, cfg.seed), cfg)
 
     @staticmethod
     def from_byte_items(items: list[bytes], cfg: ThetaConfig) -> "ThetaSketch":
@@ -154,21 +192,115 @@ class ThetaSketch:
         out += self.entries.astype("<u8").tobytes()
         return bytes(out)
 
+    def serialize_compressed(self) -> bytes:
+        """serVer 4 when ordered + compressible, else v3 — same
+        suitability rule as `theta/sketch.rs:486-499`."""
+        n = len(self.entries)
+        if n == 0 or (n == 1 and not self.is_estimation_mode()):
+            return self.serialize()
+        return self._serialize_v4()
+
+    def _serialize_v4(self) -> bytes:
+        """Compressed compact layout (`theta/sketch.rs:536-601`):
+        [pre_longs, 4, family, entry_bits, num_entries_bytes, flags,
+        seed_hash(LE u16)] + theta(LE u64, estimation only) +
+        num_entries (LE, num_entries_bytes wide) + delta bitstream."""
+        est = self.is_estimation_mode()
+        pre_longs = 2 if est else 1
+        entries = self.entries.astype(np.uint64)
+        deltas = np.diff(entries, prepend=np.uint64(0))
+        ored = int(np.bitwise_or.reduce(deltas)) if len(deltas) else 0
+        entry_bits = max(ored.bit_length(), 0)
+        n = len(entries)
+        num_entries_bytes = (n.bit_length() + 7) // 8
+        flags = _FLAG_READ_ONLY | _FLAG_COMPACT | _FLAG_ORDERED
+        out = bytearray()
+        out += struct.pack(
+            "<BBBBBBH",
+            pre_longs,
+            _SERIAL_VERSION_V4,
+            _FAMILY_THETA,
+            entry_bits,
+            num_entries_bytes,
+            flags,
+            self.seed_hash,
+        )
+        if est:
+            out += struct.pack("<Q", self.theta)
+        out += n.to_bytes(num_entries_bytes, "little")
+        out += _pack_bits(deltas, entry_bits)
+        return bytes(out)
+
     @staticmethod
     def deserialize(data: bytes, cfg: ThetaConfig) -> "ThetaSketch":
+        """Dispatch on the serial-version byte, accepting v1-v4 like
+        the reference (`theta/sketch.rs:638-654`)."""
         if len(data) < 8:
             raise ValueError("theta sketch bytes too short")
+        pre_longs, ser_ver, family = data[0], data[1], data[2]
+        if family != _FAMILY_THETA:
+            raise ValueError(f"not a theta sketch (family {family})")
+        if ser_ver == 1:
+            return ThetaSketch._deserialize_v1(data, cfg)
+        if ser_ver == 2:
+            return ThetaSketch._deserialize_v2(data, cfg)
+        if ser_ver == _SERIAL_VERSION:
+            return ThetaSketch._deserialize_v3(data, cfg)
+        if ser_ver == _SERIAL_VERSION_V4:
+            return ThetaSketch._deserialize_v4(data, cfg)
+        raise ValueError(f"unsupported theta serial version {ser_ver}")
+
+    @staticmethod
+    def _read_entries(data: bytes, off: int, n: int, theta: int, cfg: ThetaConfig) -> np.ndarray:
+        if len(data) < off + n * 8:
+            raise ValueError("truncated theta sketch entries")
+        entries = np.frombuffer(data, dtype="<u8", count=n, offset=off).astype(np.uint64)
+        if (entries == 0).any() or (entries >= theta).any():
+            raise ValueError("theta entry out of range (0, theta)")
+        return entries
+
+    @staticmethod
+    def _deserialize_v1(data: bytes, cfg: ThetaConfig) -> "ThetaSketch":
+        """Legacy v1 (`theta/sketch.rs:672-708`): no seed hash stored —
+        trusted to be cfg.seed; 24-byte preamble then entries."""
+        if len(data) < 24:
+            raise ValueError("truncated theta v1 preamble")
+        n, _u, theta = struct.unpack_from("<IIQ", data, 8)
+        if n == 0 and theta == MAX_THETA:
+            return ThetaSketch.empty(cfg)
+        entries = ThetaSketch._read_entries(data, 24, n, theta, cfg)
+        entries = np.sort(entries)
+        return ThetaSketch(entries, int(theta), cfg.seed_hash, cfg.k)
+
+    @staticmethod
+    def _deserialize_v2(data: bytes, cfg: ThetaConfig) -> "ThetaSketch":
+        """Legacy v2 (`theta/sketch.rs:710-775`): preamble_longs selects
+        empty/precise/estimate layout; seed hash at bytes 6-7."""
+        pre_longs = data[0]
+        (seed_hash,) = struct.unpack_from("<H", data, 6)
+        if seed_hash != cfg.seed_hash:
+            raise ValueError(f"seed hash mismatch: {seed_hash} != {cfg.seed_hash}")
+        if pre_longs == _V2_PRE_EMPTY:
+            return ThetaSketch.empty(cfg)
+        if pre_longs == _V2_PRE_PRECISE:
+            (n,) = struct.unpack_from("<I", data, 8)
+            entries = ThetaSketch._read_entries(data, 16, n, MAX_THETA, cfg)
+            return ThetaSketch(np.sort(entries), MAX_THETA, seed_hash, cfg.k)
+        if pre_longs == _V2_PRE_ESTIMATE:
+            n, _u, theta = struct.unpack_from("<IIQ", data, 8)
+            entries = ThetaSketch._read_entries(data, 24, n, theta, cfg)
+            return ThetaSketch(np.sort(entries), int(theta), seed_hash, cfg.k)
+        raise ValueError(f"invalid v2 preamble longs {pre_longs}")
+
+    @staticmethod
+    def _deserialize_v3(data: bytes, cfg: ThetaConfig) -> "ThetaSketch":
         pre_longs, ser_ver, family, _unused, flags, seed_hash = struct.unpack_from(
             "<BBBHBH", data, 0
         )
-        if family != _FAMILY_THETA:
-            raise ValueError(f"not a theta sketch (family {family})")
-        if ser_ver != _SERIAL_VERSION:
-            raise ValueError(f"unsupported theta serial version {ser_ver}")
-        if seed_hash != cfg.seed_hash:
-            raise ValueError(f"seed hash mismatch: {seed_hash} != {cfg.seed_hash}")
         if flags & _FLAG_EMPTY:
             return ThetaSketch.empty(cfg)
+        if seed_hash != cfg.seed_hash:
+            raise ValueError(f"seed hash mismatch: {seed_hash} != {cfg.seed_hash}")
         if len(data) < pre_longs * 8:
             raise ValueError("truncated theta sketch preamble")
         off = 8
@@ -182,13 +314,35 @@ class ThetaSketch:
             if pre_longs >= 3:
                 (theta,) = struct.unpack_from("<Q", data, off)
                 off += 8
-        if len(data) < off + n * 8:
-            raise ValueError("truncated theta sketch entries")
-        entries = np.frombuffer(data, dtype="<u8", count=n, offset=off).astype(np.uint64)
-        if (entries == 0).any() or (entries >= theta).any():
-            raise ValueError("theta entry out of range (0, theta)")
+        entries = ThetaSketch._read_entries(data, off, n, theta, cfg)
         if n > 1 and (np.diff(entries.view(np.uint64)) <= 0).any():
             raise ValueError("theta entries not strictly increasing")
+        return ThetaSketch(entries, int(theta), seed_hash, cfg.k)
+
+    @staticmethod
+    def _deserialize_v4(data: bytes, cfg: ThetaConfig) -> "ThetaSketch":
+        """Compressed v4 decode (`theta/sketch.rs:829-914`)."""
+        pre_longs, _sv, _fam, entry_bits, num_entries_bytes, flags = struct.unpack_from(
+            "<BBBBBB", data, 0
+        )
+        (seed_hash,) = struct.unpack_from("<H", data, 6)
+        if not flags & _FLAG_EMPTY and seed_hash != cfg.seed_hash:
+            raise ValueError(f"seed hash mismatch: {seed_hash} != {cfg.seed_hash}")
+        off = 8
+        theta = MAX_THETA
+        if pre_longs > 1:
+            if len(data) < off + 8:
+                raise ValueError("truncated theta v4 preamble")
+            (theta,) = struct.unpack_from("<Q", data, off)
+            off += 8
+        if len(data) < off + num_entries_bytes:
+            raise ValueError("truncated theta v4 entry count")
+        n = int.from_bytes(data[off : off + num_entries_bytes], "little")
+        off += num_entries_bytes
+        deltas = _unpack_bits(data[off:], n, entry_bits)
+        entries = np.cumsum(deltas, dtype=np.uint64)
+        if len(entries) and ((entries == 0).any() or (entries >= theta).any()):
+            raise ValueError("theta entry out of range (0, theta)")
         return ThetaSketch(entries, int(theta), seed_hash, cfg.k)
 
 

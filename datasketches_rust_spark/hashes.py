@@ -331,6 +331,28 @@ def theta_hash_u64s(vals: np.ndarray, seed: int = DEFAULT_UPDATE_SEED) -> np.nda
     return h1 >> _U64(1)
 
 
+def canonical_double(vals: np.ndarray) -> np.ndarray:
+    """Java-compatible float canonicalization (`common/mod.rs:31-41`):
+    every NaN collapses to Java's Double.doubleToLongBits NaN
+    (0x7ff8000000000000) and −0.0 to +0.0 (via the branch-free
+    ``x + 0.0`` identity the reference uses), so float items hash
+    identically across Java/C++/Rust/this engine. Returns the uint64
+    bit patterns ready for the u64 update path
+    (`theta/sketch.rs:134-152`)."""
+    v = np.asarray(vals, np.float64) + 0.0  # −0.0 + 0.0 → +0.0
+    bits = v.view(np.uint64).copy()
+    bits[np.isnan(v)] = np.uint64(0x7FF8000000000000)
+    return bits
+
+
+def theta_hash_f64s(vals: np.ndarray, seed: int = DEFAULT_UPDATE_SEED) -> np.ndarray:
+    """Theta-convention hash of float64 items: canonicalize, then hash
+    the bit pattern as a u64 — the reference's ``update_f64`` path
+    (`theta/sketch.rs:134-152`); f32 items widen first
+    (`theta/sketch.rs:150-152`), which NumPy does on asarray."""
+    return theta_hash_u64s(canonical_double(vals), seed)
+
+
 def theta_hash_bytes(
     buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, seed: int = DEFAULT_UPDATE_SEED
 ) -> np.ndarray:

@@ -152,3 +152,58 @@ def _find_zero_seed() -> int:
 
 
 _ZERO_SEED_HASH_SEED = _find_zero_seed()
+
+
+def test_canonical_double_parity():
+    """`common/mod.rs:31-41`: NaN → Java NaN bits, −0.0 → +0.0; f32
+    widening matches update_f32 → update_f64 (`theta/sketch.rs:150-152`)."""
+    import numpy as np
+    import struct
+
+    from datasketches_rust_spark.hashes import canonical_double, theta_hash_f64s, theta_hash_u64s
+
+    vals = np.array([float("nan"), -0.0, 0.0, 3.15, -1.5, float("inf"), -float("inf")])
+    bits = canonical_double(vals)
+    assert bits[0] == 0x7FF8000000000000
+    # a differently-payloaded NaN canonicalizes to the same bits
+    weird_nan = struct.unpack("<d", struct.pack("<Q", 0x7FF0000000000001))[0]
+    assert canonical_double(np.array([weird_nan]))[0] == 0x7FF8000000000000
+    assert bits[1] == bits[2] == 0  # −0.0 == +0.0
+    assert bits[3] == struct.unpack("<Q", struct.pack("<d", 3.15))[0]
+
+    # float path == hashing the canonical u64 (scalar oracle)
+    h = theta_hash_f64s(vals)
+    assert np.array_equal(h, theta_hash_u64s(bits))
+    # f32 3.15 widens, hashing as its widened f64 pattern — NOT equal
+    # to f64 3.15 (different bit patterns), same as the reference
+    f32v = np.array([np.float32(3.15)], np.float32)
+    h32 = theta_hash_f64s(f32v)
+    assert h32[0] == theta_hash_u64s(canonical_double(f32v.astype(np.float64)))[0]
+    assert h32[0] != h[3]
+
+
+def test_countmin_decay_and_bloom_contains_and_insert():
+    import numpy as np
+
+    from datasketches_rust_spark.functions.bloom import BloomFilter
+    from datasketches_rust_spark.functions.countmin import CountMinSketch
+
+    cm = CountMinSketch(3, 128)
+    cm.update_batch(["apple"] * 10)
+    cm.decay(0.5)
+    assert cm.estimate("apple") == 5
+    assert cm.total_weight == 5
+    cm.halve()
+    assert cm.estimate("apple") == 2 and cm.total_weight == 2
+    import pytest
+    with pytest.raises(ValueError):
+        cm.decay(0.0)
+    with pytest.raises(ValueError):
+        cm.decay(float("nan"))
+
+    bf = BloomFilter.with_accuracy(1000, 1e-9)
+    out = bf.contains_and_insert_batch([1, 2, 1, 3, 2])
+    # first sightings absent, intra-batch repeats present
+    assert list(out) == [False, False, True, False, True]
+    assert bf.contains_and_insert(3) is True
+    assert bf.contains_and_insert(99) is False and bf.contains(99)

@@ -276,3 +276,95 @@ def test_tdigest_reference_fixture_parity():
         assert abs(td.rank(n / 2) - 0.5) <= 1e-4, name
         assert abs(td.rank(n * 3 / 4) - 0.75) <= 1e-4, name
         assert td.rank(float(n)) == 1.0, name
+
+
+# ---------------------------------------------------------------------------
+# bloom family-21 / frequencies family-10 wire formats — mirror the
+# reference round-trip structure (`bloom_serialization_test.rs`,
+# `frequencies_serialization_test.rs`): serialize → deserialize →
+# byte-stable + query-equal
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+
+def test_bloom_wire_layout_and_roundtrip():
+    from datasketches_rust_spark.functions.bloom import BloomFilter
+
+    bf = BloomFilter.with_accuracy(1000, 0.01, seed=9001)
+    bf.insert_batch(list(range(500)))
+    blob = bf.serialize()
+    # header per `bloom/sketch.rs:335-376`
+    assert blob[0] == 4 and blob[1] == 1 and blob[2] == 21 and blob[3] == 0
+    nh, _u = _struct.unpack_from("<HH", blob, 4)
+    assert nh == bf.num_hashes
+    (seed,) = _struct.unpack_from("<Q", blob, 8)
+    assert seed == 9001
+    num_longs, _pad = _struct.unpack_from("<iI", blob, 16)
+    assert num_longs == len(bf.words)
+    (nbs,) = _struct.unpack_from("<Q", blob, 24)
+    assert nbs == bf.bits_used()
+    assert len(blob) == 32 + num_longs * 8
+
+    rt = BloomFilter.deserialize(blob)
+    assert rt.serialize() == blob
+    assert rt.contains_batch(list(range(500))).all()
+
+    # empty form: 3 preamble longs, EMPTY flag, no payload
+    empty = BloomFilter.with_accuracy(100, 0.01, seed=1).serialize()
+    assert empty[0] == 3 and empty[3] == (1 << 2) and len(empty) == 24
+    rte = BloomFilter.deserialize(empty)
+    assert rte.bits_used() == 0 and rte.serialize() == empty
+
+    # dirty num_bits_set sentinel → recount (`bloom/sketch.rs:474-487`)
+    dirty = bytearray(blob)
+    _struct.pack_into("<Q", dirty, 24, 0xFFFFFFFFFFFFFFFF)
+    rtd = BloomFilter.deserialize(bytes(dirty))
+    assert rtd.bits_used() == bf.bits_used()
+
+    import pytest as _pt
+    bad = bytearray(blob); bad[2] = 3
+    with _pt.raises(ValueError):
+        BloomFilter.deserialize(bytes(bad))
+    with _pt.raises(ValueError):
+        BloomFilter.deserialize(blob[:20])
+
+
+def test_frequencies_wire_layout_and_roundtrip():
+    from datasketches_rust_spark.functions.frequencies import FrequentItemsSketch
+
+    sk = FrequentItemsSketch(64)
+    for i, w in [("apple", 5), ("pear", 2), ("plum", 9)]:
+        sk.update(i, w)
+    blob = sk.serialize()
+    # header per `frequencies/sketch.rs:426-453`
+    assert blob[0] == 4 and blob[1] == 1 and blob[2] == 10
+    assert blob[3] == 6  # lg_max = log2(64)
+    assert blob[5] == 0  # flags
+    n, _u, sw, off = _struct.unpack_from("<IIQQ", blob, 8)
+    assert n == 3 and sw == 16 and off == 0
+    # counts block then items block (values before keys, `sketch.rs:446-452`)
+    counts = _struct.unpack_from("<3Q", blob, 32)
+    assert sorted(counts) == [2, 5, 9]
+
+    rt = FrequentItemsSketch.deserialize(blob, "str")
+    assert rt.serialize() == blob
+    assert rt.estimate("plum") == 9 and rt.stream_weight == 16
+
+    # i64-typed items: 8 LE bytes each (`serialization.rs:96-110`)
+    ski = FrequentItemsSketch(32)
+    ski.update(-7, 3)
+    ski.update(12345, 1)
+    blobi = ski.serialize()
+    rti = FrequentItemsSketch.deserialize(blobi, "i64")
+    assert rti.estimate(-7) == 3 and rti.serialize("i64") == blobi
+
+    # empty: 8 bytes, pre_longs 1, EMPTY flag bits
+    e = FrequentItemsSketch(64).serialize()
+    assert len(e) == 8 and e[0] == 1 and e[5] == 5
+    assert FrequentItemsSketch.deserialize(e).is_exact()
+
+    import pytest as _pt
+    bad = bytearray(blob); bad[2] = 21
+    with _pt.raises(ValueError):
+        FrequentItemsSketch.deserialize(bytes(bad))

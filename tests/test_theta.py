@@ -148,3 +148,126 @@ def test_theta_sampling_probability():
     assert exact.estimate() == 100.0
     with _pytest.raises(ValueError):
         ThetaConfig(lg_k=12, sampling_p=0.0)
+
+
+# ---------------------------------------------------------------------------
+# wire-format serde v1-v4 — mirrors the reference's round-trip test
+# structure (`theta_serialization_test.rs:28-114`: deserialize → estimate
+# → re-serialize → byte-stable → estimate-equal)
+# ---------------------------------------------------------------------------
+
+import struct
+
+from datasketches_rust_spark.functions.theta import (
+    _pack_bits,
+    _unpack_bits,
+)
+
+
+def _cases():
+    cfg = ThetaConfig(lg_k=7)
+    for n in [0, 1, 10, 100, 1000, 10_000, 100_000]:
+        yield n, ThetaSketch.from_u64s(np.arange(n, dtype=np.uint64), cfg), cfg
+
+
+def test_v4_roundtrip_stable_and_estimate_preserved():
+    for n, sk, cfg in _cases():
+        blob = sk.serialize_compressed()
+        rt = ThetaSketch.deserialize(blob, cfg)
+        assert rt.theta == sk.theta
+        assert np.array_equal(rt.entries, sk.entries)
+        assert rt.estimate() == sk.estimate()
+        # byte-stable after round-trip (reference asserts this too)
+        assert rt.serialize_compressed() == blob
+        # v4 chosen exactly when compressible (`theta/sketch.rs:494-499`)
+        if len(sk.entries) == 0 or (len(sk.entries) == 1 and not sk.is_estimation_mode()):
+            assert blob[1] == 3
+        else:
+            assert blob[1] == 4
+            # compressed form is smaller than uncompressed for real sizes
+            if len(sk.entries) >= 10:
+                assert len(blob) < len(sk.serialize())
+
+
+def test_v4_layout_golden():
+    """Hand-computed v4 bytes for a 2-entry exact-mode sketch."""
+    cfg = ThetaConfig(lg_k=7)
+    sk = ThetaSketch(np.array([5, 9], dtype=np.uint64), MAX_THETA, cfg.seed_hash, cfg.k)
+    blob = sk._serialize_v4()
+    # deltas [5, 4] → ored 5|4=5 → 3 bits; n=2 → 1 byte count
+    assert blob[0] == 1  # pre_longs (exact mode)
+    assert blob[1] == 4 and blob[2] == 3
+    assert blob[3] == 3  # entry_bits
+    assert blob[4] == 1  # num_entries_bytes
+    assert struct.unpack_from("<H", blob, 6)[0] == cfg.seed_hash
+    assert blob[8] == 2  # num_entries
+    # bitstream: 101 100 padded → 0b10110000
+    assert blob[9] == 0b10110000
+    assert len(blob) == 10
+    rt = ThetaSketch.deserialize(blob, cfg)
+    assert np.array_equal(rt.entries, sk.entries)
+
+
+def test_bitpack_kernel_all_widths():
+    rng = np.random.default_rng(1)
+    for bits in range(1, 64):
+        vals = rng.integers(0, 1 << bits, size=37, dtype=np.uint64)
+        packed = _pack_bits(vals, bits)
+        assert len(packed) == (37 * bits + 7) // 8
+        out = _unpack_bits(packed, 37, bits)
+        assert np.array_equal(out, vals)
+
+
+def test_v1_v2_decode_from_hand_built_buffers():
+    """Legacy layouts per `theta/sketch.rs:672-775`."""
+    cfg = ThetaConfig(lg_k=7)
+    entries = np.array([11, 22, 33], dtype=np.uint64)
+
+    # v1: [pre, 1, fam, unused u8, unused u32] [n u32][unused u32][theta u64] entries
+    v1 = struct.pack("<BBBBI", 3, 1, 3, 0, 0)
+    v1 += struct.pack("<IIQ", 3, 0, MAX_THETA)
+    v1 += entries.astype("<u8").tobytes()
+    sk1 = ThetaSketch.deserialize(v1, cfg)
+    assert np.array_equal(sk1.entries, entries) and sk1.theta == MAX_THETA
+
+    # v1 empty
+    v1e = struct.pack("<BBBBI", 3, 1, 3, 0, 0) + struct.pack("<IIQ", 0, 0, MAX_THETA)
+    assert ThetaSketch.deserialize(v1e, cfg).is_empty()
+
+    # v2 precise: pre_longs=2, seed hash at 6-7, [n u32][unused u32] entries
+    v2 = struct.pack("<BBBBHH", 2, 2, 3, 0, 0, cfg.seed_hash)
+    v2 += struct.pack("<II", 3, 0)
+    v2 += entries.astype("<u8").tobytes()
+    sk2 = ThetaSketch.deserialize(v2, cfg)
+    assert np.array_equal(sk2.entries, entries) and sk2.theta == MAX_THETA
+
+    # v2 estimate: pre_longs=3 with explicit theta
+    theta = int(0.5 * MAX_THETA)
+    keep = entries[entries < theta]
+    v2e = struct.pack("<BBBBHH", 3, 2, 3, 0, 0, cfg.seed_hash)
+    v2e += struct.pack("<IIQ", len(keep), 0, theta)
+    v2e += keep.astype("<u8").tobytes()
+    sk2e = ThetaSketch.deserialize(v2e, cfg)
+    assert sk2e.theta == theta and np.array_equal(sk2e.entries, keep)
+
+    # v2 empty sentinel
+    v2empty = struct.pack("<BBBBHH", 1, 2, 3, 0, 0, cfg.seed_hash)
+    assert ThetaSketch.deserialize(v2empty, cfg).is_empty()
+
+    # v2 wrong seed rejected
+    bad = bytearray(v2)
+    bad[6] ^= 0xFF
+    with pytest.raises(ValueError):
+        ThetaSketch.deserialize(bytes(bad), cfg)
+
+
+def test_v4_corruption_rejected():
+    cfg = ThetaConfig(lg_k=7)
+    sk = ThetaSketch.from_u64s(np.arange(1000, dtype=np.uint64), cfg)
+    blob = bytearray(sk.serialize_compressed())
+    with pytest.raises(ValueError):
+        ThetaSketch.deserialize(bytes(blob[:12]), cfg)  # truncated stream
+    blob2 = bytearray(blob)
+    blob2[1] = 9
+    with pytest.raises(ValueError):
+        ThetaSketch.deserialize(bytes(blob2), cfg)  # bad serial version
