@@ -161,9 +161,16 @@ def _q_bloom_custkey_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_hll_distinct_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL composite estimator (`hll/estimator.rs:207-264` port, cubic
+    interpolation + harmonic-number linear counting). lg_k=16 puts
+    sf<=0.01 cardinalities deep in the linear-counting regime where the
+    rounded estimate equals COUNT DISTINCT → oracle-checkable."""
     cust = _read(spark, sf_dir, "customer")
-    out = hll_distinct_by_key(cust, "c_nationkey", "c_custkey", lg_k=12)
-    return out.select(F.col("c_nationkey").alias("nationkey"), F.col("hll_estimate"))
+    out = hll_distinct_by_key(cust, "c_nationkey", "c_custkey", lg_k=16)
+    return out.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.round("hll_estimate").cast("long").alias("distinct_custkeys"),
+    )
 
 
 def _q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,6 +544,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_suppkey AS suppkey,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
             FROM lineitem GROUP BY l_suppkey
+        """,
+        # composite-estimator linear-counting regime at lg_k=16 →
+        # rounded estimate is exactly COUNT DISTINCT at sf <= 0.01
+        "hll_distinct_by_nation": """
+            SELECT c_nationkey AS nationkey,
+                   COUNT(DISTINCT c_custkey) AS distinct_custkeys
+            FROM customer GROUP BY c_nationkey
         """,
         "bloom_custkey_members": """
             SELECT c_custkey AS custkey FROM customer

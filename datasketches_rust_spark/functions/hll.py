@@ -12,14 +12,27 @@ Union = register-wise max for equal lg_k, slot-masking downsample for
 mixed lg_k (`hll/union.rs:407-513`, `array8.rs:204-224`) — the
 textbook commutative merge.
 
-Estimator: the raw-HLL correction factors are the reference's
-(`hll/estimator.rs:176-186`); small cardinalities use linear counting
-below the reference's crossover (0.64·k for lg_k ≥ 6,
-`estimator.rs:247-260`). The reference's cubic-interpolated bias
-tables (4,806 generated lines) are NOT ported — estimates are
-tolerance-gated (HLL test gates ±20 @ n=100, BASELINE.md), and
-`approx_count_distinct` (Spark's HLL++) covers the query when only
-the answer matters. Documented deviation per SURVEY.md §7 hard parts.
+Estimator — full port of `hll/estimator.rs`:
+
+* **composite** (out-of-order mode, i.e. after any merge/deserialize —
+  the normal state for Spark partial aggregation): raw HLL with the
+  reference's correction factors (`estimator.rs:174-187`) through the
+  cubic-interpolated X tables (`composite_interpolation.rs`, the
+  published Apache DataSketches constants — see _hll_tables.py),
+  Lagrange cubic interpolation (`cubic_interpolation.rs:112-141`),
+  blended with the harmonic-number bitmap (linear counting) estimate
+  (`harmonic_numbers.rs:92-103`) below the crossover
+  (`estimator.rs:241-264`).
+* **HIP** (in-order mode): the historical-inverse-probability
+  accumulator over the sequence of register *changes*
+  (`estimator.rs:76-105`) with the kxq0/kxq1 split registers. Valid
+  only for a sketch built by sequential updates that was never merged;
+  batch `update_*` calls preserve it by replaying register-raising
+  events in arrival order (vectorized event extraction, tiny Python
+  loop over the <= O(k log n) changes).
+* **bounds**: the measured relative-error quantile tables for
+  lg_k <= 12 and the analytic RSE factors above
+  (`estimator.rs:328-372` + RelativeErrorTables constants).
 """
 
 from __future__ import annotations
@@ -60,11 +73,85 @@ def _coupons_from_h(h1: np.ndarray, h2: np.ndarray) -> tuple[np.ndarray, np.ndar
     return slot26, value.astype(np.uint8)
 
 
+def _harmonic_number(n: int) -> float:
+    """H(n) — exact table below 25, asymptotic expansion above
+    (`hll/harmonic_numbers.rs:23-82`)."""
+    if n < len(_EXACT_HARMONIC):
+        return _EXACT_HARMONIC[n]
+    x = float(n)
+    inv_sq = 1.0 / (x * x)
+    s = log(x) + 0.5772156649015329 + 1.0 / (2.0 * x)
+    p = inv_sq
+    s -= p / 12.0
+    p *= inv_sq
+    s += p / 120.0
+    p *= inv_sq
+    s -= p / 252.0
+    p *= inv_sq
+    s += p / 240.0
+    return s
+
+
+_EXACT_HARMONIC = [0.0]
+for _i in range(1, 25):
+    _EXACT_HARMONIC.append(_EXACT_HARMONIC[-1] + 1.0 / _i)
+
+
+def _cubic_interpolate(x0, y0, x1, y1, x2, y2, x3, y3, x) -> float:
+    """Lagrange cubic (`hll/cubic_interpolation.rs:112-141`)."""
+    t0 = y0 * ((x - x1) * (x - x2) * (x - x3)) / ((x0 - x1) * (x0 - x2) * (x0 - x3))
+    t1 = y1 * ((x - x0) * (x - x2) * (x - x3)) / ((x1 - x0) * (x1 - x2) * (x1 - x3))
+    t2 = y2 * ((x - x0) * (x - x1) * (x - x3)) / ((x2 - x0) * (x2 - x1) * (x2 - x3))
+    t3 = y3 * ((x - x0) * (x - x1) * (x - x2)) / ((x3 - x0) * (x3 - x1) * (x3 - x2))
+    return t0 + t1 + t2 + t3
+
+
+def _interp_x_arr_y_stride(x_arr: np.ndarray, y_stride: float, x: float) -> float:
+    """`using_x_arr_and_y_stride` (`cubic_interpolation.rs:66-115`):
+    pick the 4-point window around the straddle index."""
+    last = len(x_arr) - 1
+    if x == x_arr[last]:
+        return y_stride * last
+    offset = int(np.searchsorted(x_arr, x, side="right")) - 1
+    if offset == 0:
+        base = 0
+    elif offset == len(x_arr) - 2:
+        base = offset - 2
+    else:
+        base = offset - 1
+    xs = x_arr[base : base + 4]
+    return _cubic_interpolate(
+        xs[0], y_stride * base, xs[1], y_stride * (base + 1),
+        xs[2], y_stride * (base + 2), xs[3], y_stride * (base + 3), x,
+    )
+
+
+def _get_rel_err(lg_k: int, upper: bool, ooo: bool, num_std_dev: int) -> float:
+    """`hll/estimator.rs:328-372` + the measured quantile tables."""
+    from ._hll_tables import HIP_LB, HIP_UB, NON_HIP_LB, NON_HIP_UB
+
+    if lg_k > 12:
+        factor = 1.03896 if ooo else 0.8325546
+        sign = -1.0 if upper else 1.0
+        return sign * num_std_dev * factor / np.sqrt(1 << lg_k)
+    idx = (lg_k - 4) * 3 + (num_std_dev - 1)
+    table = {
+        (False, False): HIP_LB,
+        (False, True): HIP_UB,
+        (True, False): NON_HIP_LB,
+        (True, True): NON_HIP_UB,
+    }[(ooo, upper)]
+    return float(table[idx])
+
+
 @dataclass
 class HllSketch:
     lg_k: int = 12
     seed: int = DEFAULT_UPDATE_SEED
     registers: np.ndarray = field(default=None)  # uint8, length k
+    # HIP state (`hll/estimator.rs:42-63`): valid only while in-order
+    hip_accum: float = 0.0
+    out_of_order: bool = False
 
     def __post_init__(self) -> None:
         if not 4 <= self.lg_k <= 21:
@@ -76,9 +163,55 @@ class HllSketch:
     def k(self) -> int:
         return 1 << self.lg_k
 
+    def _kxq(self) -> float:
+        """kxq0 + kxq1 = Σ 2^-reg, split in the reference only for
+        accumulation precision (`estimator.rs:92-105`); computing it
+        fresh from registers is exact."""
+        return float(np.power(2.0, -self.registers.astype(np.float64)).sum())
+
     def _absorb(self, slot26: np.ndarray, value: np.ndarray) -> None:
-        slot = slot26 & (self.k - 1)
+        """Absorb coupons in arrival order, maintaining the HIP
+        accumulator over register-raising events (`estimator.rs:76-90`:
+        hip += k/kxq BEFORE each register change)."""
+        slot = (slot26 & (self.k - 1)).astype(np.int64)
+        if not self.out_of_order:
+            self._hip_update(slot, value)
         np.maximum.at(self.registers, slot, value)
+
+    def _hip_update(self, slot: np.ndarray, value: np.ndarray) -> None:
+        """Vectorized HIP over the batch's register-raising events.
+
+        The per-slot register trajectory is independent of interleaving,
+        so change events and their (old, new) values come from a
+        slot-major prefix max (encoded seg_id*64 + value: values are
+        <= 63, so cross-segment carryover can never win the running
+        max). The accumulator sequence hip += k/kxq before each change
+        (`estimator.rs:76-90`) telescopes to
+        k * Σ_j 1/(kxq_0 + Σ_{i<j} Δ_i) with events in arrival order —
+        no Python loop."""
+        regs = self.registers
+        order = np.argsort(slot, kind="stable")  # slot-major, arrival-minor
+        s_sorted = slot[order]
+        v_sorted = value[order].astype(np.int64)
+        new_seg = np.r_[True, np.diff(s_sorted) != 0]
+        seg_id = np.cumsum(new_seg) - 1
+        combined = seg_id * 64 + v_sorted
+        acc = np.maximum.accumulate(combined)
+        prev = np.empty_like(acc)
+        prev[0] = 0
+        prev[1:] = acc[:-1]
+        base = seg_id * 64 + regs[s_sorted].astype(np.int64)
+        prev = np.maximum(prev, base)  # seed with the live register
+        changed = combined > prev
+        if not changed.any():
+            return
+        old_v = (prev - seg_id * 64)[changed].astype(np.float64)
+        new_v = v_sorted[changed].astype(np.float64)
+        arrival = order[changed]
+        by_arrival = np.argsort(arrival)
+        deltas = np.power(2.0, -new_v[by_arrival]) - np.power(2.0, -old_v[by_arrival])
+        kxq_before = self._kxq() + np.r_[0.0, np.cumsum(deltas)[:-1]]
+        self.hip_accum += float(self.k) * float((1.0 / kxq_before).sum())
 
     def update_u64s(self, vals: np.ndarray) -> None:
         h1, h2 = murmur3_x64_128_u64s(vals.astype(np.uint64, copy=False), self.seed)
@@ -94,38 +227,64 @@ class HllSketch:
 
     # -- estimate -----------------------------------------------------------
 
-    def estimate(self) -> float:
+    def raw_estimate(self) -> float:
+        """Raw HLL: alpha · k² / Σ2^-reg (`estimator.rs:174-187`)."""
         k = self.k
-        regs = self.registers
-        num_zero = int((regs == 0).sum())
-        # raw HLL with the reference's correction factors
         alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(self.lg_k, 0.7213 / (1.0 + 1.079 / k))
-        raw = alpha * k * k / float(np.power(2.0, -regs.astype(np.float64)).sum())
-        # classical small-range correction (Flajolet et al. §4): linear
-        # counting while raw <= 2.5k and zero registers remain — this
-        # replaces the reference's cubic-interpolated bias tables
-        # (`hll/composite_interpolation.rs`, generated data we do not
-        # port); see module docstring for the deviation rationale
-        if num_zero > 0 and raw <= 2.5 * k:
-            return k * log(k / num_zero)
-        return raw
+        return alpha * k * k / self._kxq()
 
-    def relative_std_error(self, merged: bool = True) -> float:
-        # `hll/estimator.rs:346-357`
-        factor = 1.03896 if merged else 0.8325546
-        return factor / np.sqrt(self.k)
+    def _bitmap_estimate(self) -> float:
+        """Linear counting via harmonic numbers
+        (`estimator.rs:189-205`, `harmonic_numbers.rs:92-103`)."""
+        k = self.k
+        num_unhit = int((self.registers == 0).sum())
+        if num_unhit == 0:
+            return k * log(k / 0.5)
+        num_hit = k - num_unhit
+        return k * (_harmonic_number(k) - _harmonic_number(k - num_hit))
+
+    def composite_estimate(self) -> float:
+        """`estimator.rs:207-264`: cubic-interpolated raw estimate,
+        blended with linear counting below the crossover."""
+        from ._hll_tables import NUM_X_VALUES, X_ARRS, Y_STRIDES
+
+        raw = self.raw_estimate()
+        x_arr = X_ARRS[self.lg_k - 4]
+        y_stride = float(Y_STRIDES[self.lg_k - 4])
+        if raw < x_arr[0]:
+            return 0.0
+        last = NUM_X_VALUES - 1
+        if raw > x_arr[last]:
+            return raw * (y_stride * last / x_arr[last])
+        adj = _interp_x_arr_y_stride(x_arr, y_stride, raw)
+        k = self.k
+        if adj > 3 * k:
+            return adj
+        lin = self._bitmap_estimate()
+        crossover = {4: 0.718, 5: 0.672}.get(self.lg_k, 0.64)
+        return adj if (adj + lin) / 2.0 > crossover * k else lin
+
+    def estimate(self) -> float:
+        """HIP when in-order, composite otherwise (`estimator.rs:
+        112-121`) — merged/deserialized sketches are always composite."""
+        return self.composite_estimate() if self.out_of_order else self.hip_accum
 
     def upper_bound(self, num_std_dev: int = 2) -> float:
-        return self.estimate() / (1.0 - num_std_dev * self.relative_std_error())
+        rse = _get_rel_err(self.lg_k, True, self.out_of_order, num_std_dev)
+        return self.estimate() / (1.0 + rse)
 
     def lower_bound(self, num_std_dev: int = 2) -> float:
-        return self.estimate() / (1.0 + num_std_dev * self.relative_std_error())
+        rse = _get_rel_err(self.lg_k, False, self.out_of_order, num_std_dev)
+        return self.estimate() / (1.0 + rse)
 
     # -- union ----------------------------------------------------------------
 
     def union(self, other: "HllSketch") -> "HllSketch":
         if other.seed != self.seed:
             raise ValueError("seed mismatch in HLL union")
+        # merged sketches lose HIP validity (`estimator.rs:286-301`)
+        self.out_of_order = True
+        self.hip_accum = 0.0
         if other.lg_k == self.lg_k:
             np.maximum(self.registers, other.registers, out=self.registers)
             return self
@@ -154,4 +313,5 @@ class HllSketch:
             raise ValueError(f"not an HLL sketch (family {family})")
         off = struct.calcsize("<BBBQ")
         regs = np.frombuffer(data, np.uint8, count=1 << lg_k, offset=off).copy()
-        return HllSketch(lg_k, seed, regs)
+        # deserialized sketches are out-of-order (`estimator.rs:286-297`)
+        return HllSketch(lg_k, seed, regs, out_of_order=True)

@@ -325,6 +325,10 @@ def hll_distinct_by_key(
             keys, blobs = [], []
             for k, vals in pdf.groupby(key_col, sort=False)[item_col]:
                 s = HllSketch(lg_k)
+                # the final merge makes every sketch out-of-order, so
+                # the composite estimator is used regardless — skip the
+                # (valid but discarded) HIP accumulation work up front
+                s.out_of_order = True
                 arr = vals.dropna().to_numpy()
                 if arr.dtype.kind in ("i", "u"):
                     s.update_u64s(arr.astype(np.int64).view(np.uint64))

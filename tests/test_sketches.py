@@ -368,3 +368,69 @@ def test_frequencies_wire_layout_and_roundtrip():
     bad = bytearray(blob); bad[2] = 21
     with _pt.raises(ValueError):
         FrequentItemsSketch.deserialize(bytes(bad))
+
+
+# -- HLL composite + HIP estimator port (`hll/estimator.rs`) ------------------
+
+
+def test_hll_hip_matches_sequential_and_is_tighter():
+    """HIP accumulator: batch-vectorized == strict sequential updates;
+    reference gates (`hll_update_test.rs:36-43,91-95`: |est−100| < 20,
+    |est−1000| < 150) hold for BOTH estimators."""
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 10**12, size=5000, dtype=np.uint64)
+    batch = HllSketch(11)
+    batch.update_u64s(vals)
+    seq = HllSketch(11)
+    for chunk in np.array_split(vals, 97):
+        seq.update_u64s(chunk)
+    assert batch.hip_accum == pytest.approx(seq.hip_accum, rel=1e-12)
+    for n, gate in [(100, 20), (1000, 150)]:
+        s = HllSketch(11)
+        s.update_u64s(np.arange(n, dtype=np.uint64))
+        assert abs(s.estimate() - n) < gate  # HIP path
+        o = HllSketch(11)
+        o.out_of_order = True
+        o.update_u64s(np.arange(n, dtype=np.uint64))
+        assert abs(o.composite_estimate() - n) < gate  # composite path
+
+
+def test_hll_composite_linear_counting_exact_regime():
+    """k >> n: the harmonic-number bitmap estimate rounds to the exact
+    count (the regime the hll_distinct_by_nation oracle runs in)."""
+    for n in (10, 60, 300):
+        s = HllSketch(16)
+        s.out_of_order = True
+        s.update_u64s(np.arange(n, dtype=np.uint64) * np.uint64(2654435761))
+        assert round(s.composite_estimate()) == n
+
+
+def test_hll_merge_goes_out_of_order():
+    a = HllSketch(11)
+    a.update_u64s(np.arange(1000, dtype=np.uint64))
+    assert not a.out_of_order and a.hip_accum > 0
+    b = HllSketch(11)
+    b.update_u64s(np.arange(500, 1500, dtype=np.uint64))
+    a.union(b)
+    assert a.out_of_order and a.hip_accum == 0.0
+    # estimate() now routes to composite
+    assert a.estimate() == a.composite_estimate()
+    # deserialize is out-of-order too (`estimator.rs:286-297`)
+    rt = HllSketch.deserialize(b.serialize())
+    assert rt.out_of_order
+
+
+def test_hll_rel_err_tables():
+    """Bounds use the measured quantile tables for lg_k <= 12 and the
+    analytic RSE above (`estimator.rs:328-372`)."""
+    s = HllSketch(10)
+    s.update_u64s(np.arange(10000, dtype=np.uint64))
+    for nsd in (1, 2, 3):
+        lb, ub = s.lower_bound(nsd), s.upper_bound(nsd)
+        assert lb < s.estimate() < ub
+        # wider bands for more std devs
+    assert s.lower_bound(3) < s.lower_bound(1)
+    assert s.upper_bound(3) > s.upper_bound(1)
+    big = HllSketch(14)
+    big.update_u64s(np.arange(100000, dtype=np.uint64))
+    assert big.lower_bound(2) <= 100000 <= big.upper_bound(2)
