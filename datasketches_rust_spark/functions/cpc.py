@@ -14,21 +14,25 @@ skip"). Dense state makes merge the trivial commutative word-wise OR
 (`cpc/union.rs:18-62` describes the same bit-matrix OR as its general
 case) — exactly Spark's partial/final aggregation contract.
 
-Estimator: the reference's post-merge ICON estimator is driven by
-generated empirical tables (`cpc/estimator.rs:24-89`) that we do not
-port. The bit matrix is the classic PCSA structure (Flajolet–Martin
-1985, the paper CPC descends from), so we use the published PCSA
-estimator  n̂ = (k/φ)·2^mean(R_i),  φ = 0.77351, with linear counting
-over empty rows for small n. Tolerance-gated in pytest (the reference
-gate is 2% at lg_k=11/n=10k, `cpc_update_test.rs:25,49-62`; PCSA's
-σ ≈ 0.78/√k ≈ 1.7% there).
+Estimator: the reference's ICON estimator, ported exactly
+(`cpc/estimator.rs:236-429`): N̂ = f(lg_k, num_coupons) via the
+degree-19 characterization polynomials (published Apache DataSketches
+constants, see _cpc_tables.py) below C = 5.6-5.7·k and the exponential
+approximation 0.794·k·2^(C/k) above. ICON's input is only the count of
+distinct (row, col) coupons — exactly popcount(bit matrix) here — so
+it applies to the dense state unchanged. This is the reference's
+*post-merge* estimator; the sequential HIP accumulator
+(`cpc/sketch.rs`) is not ported because every sketch in the Spark
+topology is merged (the reference itself switches to ICON on merge).
+Bounds use the measured kappa tables for lg_k <= 14 and the ln2-based
+constants above (`cpc/estimator.rs:93-212`). Meets the reference's
+own gate: 2% at lg_k=11, n=10k (`cpc_update_test.rs:25,49-62`).
 """
 
 from __future__ import annotations
 
 import struct
 from dataclasses import dataclass, field
-from math import log
 
 import numpy as np
 
@@ -40,7 +44,36 @@ from ..hashes import (
 )
 
 _U64 = np.uint64
-_PHI = 0.77351  # PCSA magic constant (Flajolet–Martin 1985, Thm 2)
+_LN2 = 0.6931471805599453  # ICON_ERROR_CONSTANT (`cpc/estimator.rs:22`)
+
+
+def icon_estimate(lg_k: int, num_coupons: int) -> float:
+    """The ICON estimator (`cpc/estimator.rs:391-429`): maps the count
+    of distinct coupons C to N̂ via the degree-19 characterization
+    polynomial of C/(2k) below the 5.6-5.7·k threshold, and the
+    exponential approximation 0.7940236163830469·k·2^(C/k) above."""
+    from ._cpc_tables import ICON_POLYNOMIAL_COEFFICIENTS
+
+    if not 4 <= lg_k <= 26:
+        raise ValueError(f"lg_k out of range; got {lg_k}")
+    if num_coupons == 0:
+        return 0.0
+    if num_coupons == 1:
+        return 1.0
+    k = float(1 << lg_k)
+    c = float(num_coupons)
+    threshold_factor = 5.7 if lg_k < 14 else 5.6
+    if c > threshold_factor * k:
+        return 0.7940236163830469 * k * 2.0 ** (c / k)
+    coeffs = ICON_POLYNOMIAL_COEFFICIENTS[lg_k - 4]
+    # Horner, highest degree first (`evaluate_polynomial`, :377-385)
+    x = c / (2.0 * k)
+    factor = 0.0
+    for a in coeffs[::-1]:
+        factor = factor * x + a
+    ratio = c / k
+    result = c * factor * (1.0 + ratio * ratio * ratio / 66.774757)
+    return max(result, c)
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
@@ -52,16 +85,6 @@ def _clz64(x: np.ndarray) -> np.ndarray:
         v[m] >>= _U64(s)
     bl += (v == 1).astype(np.int64)
     return 64 - bl
-
-
-def _trailing_ones(words: np.ndarray) -> np.ndarray:
-    """Per-word count of consecutive set bits from bit 0 (the PCSA R_i)."""
-    inv = ~words
-    out = np.full(len(words), 64, dtype=np.int64)
-    nz = inv != 0
-    low = inv[nz] & (~inv[nz] + _U64(1))  # lowest set bit of the inverse
-    out[nz] = 63 - _clz64(low)
-    return out
 
 
 @dataclass
@@ -97,31 +120,46 @@ class CpcSketch:
     def update_strings(self, items: list[str]) -> None:
         self.update_bytes([s.encode("utf-8") for s in items])
 
-    # -- estimate -----------------------------------------------------------
+    # -- estimate: ICON (`cpc/estimator.rs:236-429`) ------------------------
+
+    def num_coupons(self) -> int:
+        """Count of distinct (row, col) coupons = set bits."""
+        if hasattr(np, "bitwise_count"):
+            return int(np.bitwise_count(self.matrix).sum())
+        return int(sum(bin(int(w)).count("1") for w in self.matrix))
 
     def estimate(self) -> float:
-        k = self.k
-        empty = int((self.matrix == 0).sum())
-        if empty == k:
-            return 0.0
-        if empty > 0:
-            lc = k * log(k / empty)
-            if lc < 2.0 * k:
-                return lc
-        # PCSA with the small-range bias correction of Scheuermann &
-        # Mauve 2007:  n̂ = (k/φ)·(2^A − 2^(−κ·A)), κ = 1.75 — measured
-        # max |err| 3.8% / mean 1.2% at lg_k=11 over n ∈ [100, 2·10^5]
-        mean_r = float(_trailing_ones(self.matrix).mean())
-        return (k / _PHI) * (2.0**mean_r - 2.0 ** (-1.75 * mean_r))
-
-    def relative_std_error(self) -> float:
-        return 0.78 / np.sqrt(self.k)
+        return icon_estimate(self.lg_k, self.num_coupons())
 
     def upper_bound(self, num_std_dev: int = 2) -> float:
-        return self.estimate() / (1.0 - num_std_dev * self.relative_std_error())
+        """`icon_confidence_ub` (`cpc/estimator.rs:155-174`): measured
+        kappa table (low-side data) below lg_k 15, ln2 above; ceil for
+        conservative coverage."""
+        from math import ceil
+
+        from ._cpc_tables import ICON_LOW_SIDE_DATA
+
+        c = self.num_coupons()
+        if c == 0:
+            return 0.0
+        x = _LN2
+        if self.lg_k <= 14:
+            x = float(ICON_LOW_SIDE_DATA[3 * (self.lg_k - 4) + (num_std_dev - 1)]) / 10000.0
+        eps = num_std_dev * x / np.sqrt(self.k)
+        return float(ceil(icon_estimate(self.lg_k, c) / (1.0 - eps)))
 
     def lower_bound(self, num_std_dev: int = 2) -> float:
-        return self.estimate() / (1.0 + num_std_dev * self.relative_std_error())
+        """`icon_confidence_lb` (`cpc/estimator.rs:128-153`)."""
+        from ._cpc_tables import ICON_HIGH_SIDE_DATA
+
+        c = self.num_coupons()
+        if c == 0:
+            return 0.0
+        x = _LN2
+        if self.lg_k <= 14:
+            x = float(ICON_HIGH_SIDE_DATA[3 * (self.lg_k - 4) + (num_std_dev - 1)]) / 10000.0
+        eps = num_std_dev * x / np.sqrt(self.k)
+        return max(float(c), icon_estimate(self.lg_k, c) / (1.0 + eps))
 
     # -- union (`cpc/union.rs:18-62`: bit-matrix OR general case) -----------
 
