@@ -14,12 +14,16 @@ detect document pairs sharing a run of raw text of length >= t.
   than k. Fingerprints explode to (doc, fp) rows and reuse the LSH
   bucket machinery (operators/lsh.py) — the shuffle topology is
   identical to MinHash banding.
-* **Verification (exact path)** — candidate pairs get their true
-  longest common substring from a suffix array over
-  ``s1 + SEP + s2`` with Kasai LCP (textbook construction): scan
-  adjacent LCP entries whose suffixes come from different documents,
-  take the max. O((n+m) log(n+m)) per pair via numpy argsort of
-  suffix ranks (prefix-doubling).
+* **Verification (exact path)** — binary search on the answer length
+  with vectorized double-modulus rolling hashes: LCS >= L iff the two
+  documents share an L-gram, checked by sorted-intersecting the two
+  window-hash arrays (O((n+m) log) per probe, ~log(min(n,m)) probes,
+  all NumPy — replaces a per-pair pure-Python Kasai loop that was the
+  single slowest stage of the whole bench at 26.5 s/sf0.1). The final
+  claimed match is confirmed byte-for-byte; on any hash anomaly
+  (probability ~(n+m)²/2^60 per probe) the pair falls back to the
+  textbook suffix-array + Kasai path, which is kept as the exactness
+  oracle (tests cross-check the two).
 """
 
 from __future__ import annotations
@@ -68,6 +72,35 @@ def document_fingerprints(
     if not text:
         return np.zeros(0, dtype=np.uint64)
     return winnow(kgram_hashes(text.encode("utf-8"), k, seed), w)
+
+
+def document_fingerprints_batch(
+    texts: list[str | None], k: int = 16, w: int = 8, seed: int = DEFAULT_UPDATE_SEED
+) -> list[np.ndarray]:
+    """Winnowed fingerprints for a whole Arrow batch in ONE murmur
+    kernel call: all documents' k-gram windows are hashed together
+    (the kernel's fixed setup cost amortizes over the batch — per-doc
+    calls spent more time in NumPy dispatch than hashing for typical
+    ~300-char docs), then winnowing runs per-document over segments."""
+    enc = [t.encode("utf-8") if t else b"" for t in texts]
+    lens = np.fromiter((len(e) for e in enc), np.int64, len(enc))
+    n_windows = np.maximum(lens - k + 1, 0)
+    total = int(n_windows.sum())
+    if total == 0:
+        return [np.zeros(0, dtype=np.uint64) for _ in enc]
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    doc_offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    # starts = concat_i (doc_offsets[i] + arange(n_windows[i]))
+    seg_ends = np.cumsum(n_windows)
+    seg_starts = seg_ends - n_windows
+    idx = np.arange(total, dtype=np.int64)
+    owner = np.searchsorted(seg_ends, idx, side="right")
+    starts = doc_offsets[owner] + (idx - seg_starts[owner])
+    h1, _ = murmur3_x64_128_arr(buf, starts, np.full(total, k, dtype=np.int64), seed)
+    hashes = h1 >> _U64(1)
+    return [
+        winnow(hashes[int(seg_starts[i]) : int(seg_ends[i])], w) for i in range(len(enc))
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -125,8 +158,9 @@ def lcp_array(data: np.ndarray, sa: np.ndarray) -> np.ndarray:
     return lcp
 
 
-def longest_common_substring_len(a: str, b: str) -> int:
-    """Exact LCS length via suffix array over a + SEP + b."""
+def _lcs_suffix_array(a: str, b: str) -> int:
+    """Exact LCS length via suffix array over a + SEP + b — the slow
+    textbook oracle, kept for the hash-anomaly fallback and tests."""
     ab = a.encode("utf-8")
     bb = b.encode("utf-8")
     if not ab or not bb:
@@ -146,3 +180,95 @@ def longest_common_substring_len(a: str, b: str) -> int:
             cand = min(cand, boundary - sa_a)
             best = max(best, cand)
     return best
+
+
+# -- fast verification: binary search + double-modulus rolling hash ----------
+
+_M1 = (1 << 31) - 1  # Mersenne prime 2^31-1
+_M2 = (1 << 29) - 3  # prime
+_B1, _B2 = 1000003, 131
+_INV_B1 = pow(_B1, -1, _M1)
+_INV_B2 = pow(_B2, -1, _M2)
+
+
+def _mod_powers(base: int, n: int, mod: int) -> np.ndarray:
+    """[base^0 .. base^(n-1)] mod `mod`, by length-doubling (log n
+    NumPy steps; products < mod² < 2^62 stay inside uint64)."""
+    p = np.ones(1, dtype=np.uint64)
+    while len(p) < n:
+        p = np.concatenate([p, (p * (p[-1] * np.uint64(base) % np.uint64(mod))) % np.uint64(mod)])
+    return p[:n]
+
+
+class _PrefixHash:
+    """Positional prefix hashes G[i] = Σ_{j<i} data[j]·B^j (two mods),
+    built once per document; window hashes of any length L come out
+    vectorized as (G[l+L] − G[l])·B^−l."""
+
+    __slots__ = ("n", "g1", "g2", "ip1", "ip2")
+
+    def __init__(self, data: np.ndarray) -> None:
+        n = len(data)
+        self.n = n
+        for which, (base, mod, inv) in enumerate(
+            ((_B1, _M1, _INV_B1), (_B2, _M2, _INV_B2))
+        ):
+            pw = _mod_powers(base, n + 1, mod)
+            terms = (data.astype(np.uint64) * pw[:n]) % np.uint64(mod)
+            g = np.zeros(n + 1, dtype=np.uint64)
+            # chunked cumsum keeps partial sums < 2^62 for any doc size
+            # (terms < 2^31, chunk 2^20 → chunk sums < 2^51)
+            chunk = 1 << 20
+            carry = np.uint64(0)
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                cs = (np.cumsum(terms[s:e]) + carry) % np.uint64(mod)
+                g[s + 1 : e + 1] = cs
+                carry = cs[-1]
+            ip = _mod_powers(inv, n + 1, mod)
+            if which == 0:
+                self.g1, self.ip1 = g, ip
+            else:
+                self.g2, self.ip2 = g, ip
+
+    def window_hashes(self, length: int) -> np.ndarray:
+        """Combined (h1 << 32 | h2) hash of every `length`-window."""
+        n = self.n
+        m = n - length + 1
+        idx = np.arange(m)
+        mod1, mod2 = np.uint64(_M1), np.uint64(_M2)
+        # add mod before subtracting: uint64 wraparound then % mod is
+        # NOT modular subtraction (2^64 mod M != 0)
+        h1 = ((self.g1[idx + length] + mod1 - self.g1[idx]) % mod1) * self.ip1[idx] % mod1
+        h2 = ((self.g2[idx + length] + mod2 - self.g2[idx]) % mod2) * self.ip2[idx] % mod2
+        return (h1 << np.uint64(32)) | h2
+
+
+def longest_common_substring_len(a: str, b: str) -> int:
+    """Exact LCS length: binary search on L over shared-L-gram
+    existence (sorted hash intersect), final match byte-verified;
+    falls back to the suffix-array oracle on hash anomalies."""
+    ab = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+    bb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+    if len(ab) == 0 or len(bb) == 0:
+        return 0
+    pa, pb = _PrefixHash(ab), _PrefixHash(bb)
+    lo, hi = 0, min(len(ab), len(bb))  # invariant: LCS >= lo (hash-wise)
+    best_pos: tuple[int, int] | None = None
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        wa = pa.window_hashes(mid)
+        wb = pb.window_hashes(mid)
+        common, ia, ib = np.intersect1d(wa, wb, return_indices=True)
+        if len(common):
+            lo = mid
+            best_pos = (int(ia[0]), int(ib[0]))
+        else:
+            hi = mid - 1
+    if lo == 0:
+        return 0
+    i, j = best_pos
+    if np.array_equal(ab[i : i + lo], bb[j : j + lo]):
+        return lo
+    # hash collision steered the search — fall back to the exact oracle
+    return _lcs_suffix_array(a, b)

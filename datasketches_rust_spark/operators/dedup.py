@@ -45,10 +45,11 @@ def text_signatures(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig)
     are repartitioned so the UDF saturates the cluster; big inputs
     (≥ cores partitions, the 100 TB case) pass through with no shuffle.
     """
-    narrow = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < target:
-        narrow = narrow.repartition(target)
+    from ..session import ensure_min_partitions
+
+    narrow = ensure_min_partitions(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    )
     return narrow.select(
         "_id", minhash_signature_col("_text", cfg.minhash).alias("s")
     ).select("_id", F.col("s.signature").alias("signature"), F.col("s.bands").alias("bands"))

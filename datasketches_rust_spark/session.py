@@ -37,6 +37,23 @@ def apply_engine_conf(builder: SparkSession.Builder) -> SparkSession.Builder:
     return builder
 
 
+def ensure_min_partitions(df, target: int | None = None):
+    """Repartition a DataFrame up to ``target`` (default: cluster
+    parallelism) ONLY if it has fewer partitions.
+
+    Heavy vectorized-UDF stages are CPU-bound, and a small parquet file
+    with one row group is unsplittable — without this, a fingerprint or
+    signature pass runs on ONE core no matter how many the cluster has
+    (measured 8 s vs ~1 s for the substring fingerprint stage at
+    sf0.1). Big inputs (>= cores partitions, the 100 TB case) pass
+    through untouched, so there is no added shuffle at scale.
+    """
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def make_local_session(
     cpus: int,
     shuffle_partitions: int | None = None,

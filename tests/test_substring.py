@@ -107,3 +107,34 @@ def test_spark_substring_pairs_vs_oracle(planted):
     assert got == want
     assert (0, 1) in got and got[(0, 1)] >= 40
     assert (3, 4) in got and got[(3, 4)] >= 25
+
+
+def test_fast_lcs_matches_suffix_array_oracle():
+    """The rolling-hash binary-search verifier is exact: cross-checked
+    against the suffix-array + Kasai oracle on random, planted-run,
+    unicode, identical, and empty cases."""
+    import random
+    import string
+
+    from datasketches_rust_spark.functions.substring import (
+        _lcs_suffix_array,
+        longest_common_substring_len,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(40):
+        n1, n2 = rng.randint(0, 300), rng.randint(0, 300)
+        a = "".join(rng.choices(string.ascii_lowercase + " ", k=n1))
+        b = "".join(rng.choices(string.ascii_lowercase + " ", k=n2))
+        if trial % 3 == 0 and n1 > 60 and n2 > 60:
+            run_len = rng.randint(10, 50)
+            run = "".join(rng.choices(string.ascii_lowercase, k=run_len))
+            i, j = rng.randint(0, n1 - run_len), rng.randint(0, n2 - run_len)
+            a = a[:i] + run + a[i + run_len :]
+            b = b[:j] + run + b[j + run_len :]
+        assert longest_common_substring_len(a, b) == _lcs_suffix_array(a, b)
+    assert longest_common_substring_len("", "abc") == 0
+    assert longest_common_substring_len("abc", "") == 0
+    assert longest_common_substring_len("samesame", "samesame") == 8
+    u = ("héllo wörld", "wörld héllo")
+    assert longest_common_substring_len(*u) == _lcs_suffix_array(*u)
