@@ -38,14 +38,14 @@ aggregation:
   dispatches on the serial-version byte like the reference
   (`theta/sketch.rs:638-654`); ``serialize_compressed`` applies the
   same suitability rule (`theta/sketch.rs:486-499`).
-* bounds: binomial confidence bounds
-  (`datasketches/src/common/binomial_bounds.rs:288-360`). We port the
-  closed forms (theta==1, n==0, n==1, n>120 Gaussian with continuity
-  correction). For the rare mid-range (2 <= n <= 120 with theta < 1)
-  the reference uses empirical equivalence tables / an exact Bayesian
-  search; we use the Gaussian form there and document the deviation —
-  estimation-mode sketches in this engine always retain k >= 32 >>
-  entries, and the recall-gated paths never consult bounds.
+* bounds: FULL port of the reference binomial confidence bounds
+  (`datasketches/src/common/binomial_bounds.rs:288-560`): the closed
+  forms (theta==1, n==0, n==1, n>120 Gaussian with continuity
+  correction) AND the mid-range 2 <= n <= 120 machinery — the
+  equivalent-sigma tables (extracted public constants, see
+  _binomial_tables.py) for theta < n/360, and the exact Bayesian
+  searches ``special_n_star`` / ``special_n_prime_f`` for the
+  hardest-to-approximate band in between.
 """
 
 from __future__ import annotations
@@ -396,7 +396,13 @@ def jaccard_estimate(a: ThetaSketch, b: ThetaSketch) -> float:
 # binomial bounds (port of `common/binomial_bounds.rs:288-360, 484-559`)
 # ---------------------------------------------------------------------------
 
-_TAIL_PROB = {1: 0.15866, 2: 0.02275, 3: 0.00135}
+# exact Gaussian tail probabilities 0.5(1+erf(-k/sqrt 2))
+# (`common/num_std_dev.rs:24-29`)
+_TAIL_PROB = {
+    1: 0.1586553191586026479,
+    2: 0.0227502618904135701,
+    3: 0.0013498126861731796,
+}
 
 
 def _cont_classic_lb(n: int, theta: float, std: float) -> float:
@@ -413,7 +419,44 @@ def _cont_classic_ub(n: int, theta: float, std: float) -> float:
     return n_hat + 0.5 * b * b + d
 
 
+def _special_n_star(num_samples: int, p: float, delta: float) -> int:
+    """Bayesian-inspired exact search: smallest m with
+    P(X >= num_samples | n=m, p) > delta (`binomial_bounds.rs:394-418`).
+    Only valid for num_samples/p < 500 (enforced by the caller)."""
+    q = 1.0 - p
+    cur_term = p**num_samples
+    if cur_term <= 1e-100:
+        raise ValueError("out of range")
+    tot = cur_term
+    m = num_samples
+    while tot <= delta:
+        cur_term = (cur_term * q * m) / (m + 1 - num_samples)
+        tot += cur_term
+        m += 1
+    return m - 1
+
+
+def _special_n_prime_b(num_samples: int, p: float, delta: float) -> int:
+    """Smallest m with P(X >= num_samples | n=m, p) >= 1-delta
+    (`binomial_bounds.rs:439-459`)."""
+    q = 1.0 - p
+    one_minus_delta = 1.0 - delta
+    cur_term = p**num_samples
+    if cur_term <= 1e-100:
+        raise ValueError("out of range")
+    tot = cur_term
+    m = num_samples
+    while tot < one_minus_delta:
+        cur_term = (cur_term * q * m) / (m + 1 - num_samples)
+        tot += cur_term
+        m += 1
+    return m
+
+
 def _binomial_lower_bound(n: int, theta: float, num_std_dev: int) -> float:
+    """`binomial_bounds.rs:288-302` + `compute_approx_binomial_lower_
+    bound` (:484-522), including the 2<=n<=120 equivalent-sigma table
+    and exact-search regimes."""
     if not 0.0 < theta <= 1.0:
         raise ValueError("theta must be in (0, 1]")
     est = n / theta
@@ -424,14 +467,28 @@ def _binomial_lower_bound(n: int, theta: float, num_std_dev: int) -> float:
     elif n == 1:
         delta = _TAIL_PROB[num_std_dev]
         lb = floor(log(1.0 - delta) / log(1.0 - theta))
-    elif n > 120 or theta <= 1.0 - 1e-5:
+    elif n > 120:
         lb = _cont_classic_lb(n, theta, float(num_std_dev)) - 0.5
-    else:
+    elif theta > 1.0 - 1e-5:
         lb = float(n)
+    elif theta < n / 360.0:
+        from ._binomial_tables import LB_EQUIV_TABLE
+
+        equiv_sigma = float(LB_EQUIV_TABLE[3 * n + (num_std_dev - 1)])
+        lb = _cont_classic_lb(n, theta, equiv_sigma) - 0.5
+    else:
+        # hardest band: exact Bayesian search (est <= 360 here)
+        delta = _TAIL_PROB[num_std_dev]
+        try:
+            lb = float(_special_n_star(n, theta, delta))
+        except ValueError:
+            lb = float(n)
     return min(est, max(float(n), lb))
 
 
 def _binomial_upper_bound(n: int, theta: float, num_std_dev: int, no_data_seen: bool) -> float:
+    """`binomial_bounds.rs:323-342` + `compute_approx_binomial_upper_
+    bound` (:525-560)."""
     if no_data_seen:
         return 0.0
     if not 0.0 < theta <= 1.0:
@@ -442,8 +499,19 @@ def _binomial_upper_bound(n: int, theta: float, num_std_dev: int, no_data_seen: 
     elif n == 0:
         delta = _TAIL_PROB[num_std_dev]
         ub = ceil(log(delta) / log(1.0 - theta))
-    elif n > 120 or theta <= 1.0 - 1e-5:
+    elif n > 120:
         ub = _cont_classic_ub(n, theta, float(num_std_dev)) + 0.5
-    else:
+    elif theta > 1.0 - 1e-5:
         ub = float(n + 1)
+    elif theta < n / 360.0:
+        from ._binomial_tables import UB_EQUIV_TABLE
+
+        equiv_sigma = float(UB_EQUIV_TABLE[3 * n + (num_std_dev - 1)])
+        ub = _cont_classic_ub(n, theta, equiv_sigma) + 0.5
+    else:
+        delta = _TAIL_PROB[num_std_dev]
+        try:
+            ub = float(_special_n_prime_b(n + 1, theta, delta))
+        except ValueError:
+            ub = float(n + 1)
     return max(est, ub)

@@ -55,14 +55,23 @@ def text_signatures(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig)
     ).select("_id", F.col("s.signature").alias("signature"), F.col("s.bands").alias("bands"))
 
 
-def verified_text_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+def verified_text_pairs(
+    sigs: DataFrame, cfg: DedupConfig, touched_keys: DataFrame | None = None
+) -> DataFrame:
     """Candidate pairs surviving the signature-Jaccard filter.
 
     Chained pairs (over-cap buckets: all ``rows_per_band`` slots
     already collide) skip verification by construction — see
     operators/lsh.py.
+
+    ``touched_keys`` (a (band_id, band_key) frame) restricts pair
+    generation to the given buckets — the delta-banding hook for the
+    incremental streaming pipeline: only buckets that gained a member
+    this micro-batch re-pair, everything else is untouched state.
     """
     banded = explode_bands(sigs, "_id")
+    if touched_keys is not None:
+        banded = banded.join(touched_keys, ["band_id", "band_key"], "left_semi")
     pairs = candidate_pairs(banded, cfg)
     sig_only = sigs.select("_id", "signature")
     verified = (

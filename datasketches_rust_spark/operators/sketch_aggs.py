@@ -221,10 +221,14 @@ def countmin_weights_by_key(
 ) -> DataFrame:
     """Count-Min estimated total weight per distinct key.
 
-    Two-phase: per-partition sketches + merged final
-    (`countmin/sketch.rs:246-259` merge = element-wise add). The probe
-    set is the distinct keys of the input (collected inside the final
-    task, not the driver). Collision-free configs (num_buckets >>
+    Scale topology (no single-task funnel): per-partition sketches →
+    tree merge (`countmin/sketch.rs:246-259` merge = element-wise add)
+    into ONE broadcastable blob → the DISTINCT-KEY FRAME (computed as
+    a distributed hash agg, never materialized in one task) probes the
+    broadcast sketch with a vectorized UDF. The previous version
+    funneled every partial's full key set plus the merged sketch into
+    one final task — a bottleneck that defeats the point of a sketch
+    at high key cardinality. Collision-free configs (num_buckets >>
     distinct keys) give exact sums → oracle-checkable.
     Returns (key, est_weight, upper_bound).
     """
@@ -234,43 +238,72 @@ def countmin_weights_by_key(
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cm = CountMinSketch(num_hashes, num_buckets)
-        keys: set = set()
         for pdf in batches:
             vals = pdf[key_col].to_numpy()
             w = pdf[weight_col].to_numpy(np.int64)
             cm.update_batch(list(vals), w)
-            keys.update(vals.tolist())
-        yield pd.DataFrame(
-            {"sketch": [cm.serialize()], "keys": [sorted(keys)]}
-        )
+        yield pd.DataFrame({"sketch": [cm.serialize()]})
 
-    partials = df.select(key_col, weight_col).mapInPandas(
-        partial, f"sketch binary, keys array<{key_type}>"
+    partials = df.select(key_col, weight_col).mapInPandas(partial, "sketch binary")
+    blob = _tree_merge_blobs(
+        partials,
+        lambda blobs: _merge_countmin(blobs).serialize(),
     )
+    merged = CountMinSketch.deserialize(blob)
+    ub_add = int(merged.relative_error * merged.total_weight)
+    spark = df.sparkSession
+    b_blob = spark.sparkContext.broadcast(blob)
 
-    def merge(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        cm = None
-        keys: set = set()
-        for b, ks in zip(pdf["sketch"], pdf["keys"]):
-            part = CountMinSketch.deserialize(bytes(b))
-            cm = part if cm is None else cm.merge(part)
-            keys.update(ks)
-        probe = sorted(keys)
-        est = cm.estimate_batch(probe)
-        ub = est + int(cm.relative_error * cm.total_weight)
-        return pd.DataFrame({key_col: probe, "est_weight": est, "upper_bound": ub})
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = CountMinSketch.deserialize(b_blob.value)
+        for pdf in batches:
+            keys = pdf[key_col].tolist()
+            est = cm.estimate_batch(keys)
+            yield pd.DataFrame(
+                {key_col: keys, "est_weight": est, "upper_bound": est + ub_add}
+            )
 
     return (
-        partials.withColumn("_g", F.lit(0))
-        .groupBy("_g")
-        .applyInPandas(merge, f"{key_col} {key_type}, est_weight long, upper_bound long")
+        df.select(key_col)
+        .distinct()
+        .mapInPandas(probe, f"{key_col} {key_type}, est_weight long, upper_bound long")
     )
+
+
+def _merge_countmin(blobs: list[bytes]):
+    from ..functions.countmin import CountMinSketch
+
+    out = None
+    for b in blobs:
+        part = CountMinSketch.deserialize(bytes(b))
+        out = part if out is None else out.merge(part)
+    return out
+
+
+def _tree_merge_blobs(partials: DataFrame, merge_fn, fanout: int = 8) -> bytes:
+    """Two-level sketch-blob merge: group the per-partition blobs into
+    ``fanout`` shards merged executor-side, then merge the ``fanout``
+    shard blobs at the driver. Caps driver ingress at fanout × blob
+    size instead of num_partitions × blob size — the difference between
+    ~3 MB and ~400 MB at 1000 executors for a 393 KB Count-Min."""
+
+    def shard_merge(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"sketch": [merge_fn(list(pdf["sketch"]))]})
+
+    shards = (
+        partials.withColumn("_g", F.spark_partition_id() % fanout)
+        .groupBy("_g")
+        .applyInPandas(shard_merge, "sketch binary")
+        .collect()
+    )
+    return merge_fn([bytes(r.sketch) for r in shards])
 
 
 def bloom_build(df: DataFrame, col: str, max_items: int, fpp: float) -> bytes:
-    """Distributed bloom build: per-partition filters OR-merged
-    (`bloom/sketch.rs:174-185` union) — returns the serialized filter
-    (driver-side blob, intended for broadcast as a join pre-filter)."""
+    """Distributed bloom build: per-partition filters → executor-side
+    tree OR-merge (`bloom/sketch.rs:174-185` union) → driver gets only
+    ``fanout`` pre-merged blobs, not one per partition. Returns the
+    serialized filter (intended for broadcast as a join pre-filter)."""
     from ..functions.bloom import BloomFilter
 
     proto = BloomFilter.with_accuracy(max_items, fpp)
@@ -282,11 +315,14 @@ def bloom_build(df: DataFrame, col: str, max_items: int, fpp: float) -> bytes:
             bf.insert_batch(pdf[col].tolist())
         yield pd.DataFrame({"sketch": [bf.serialize()]})
 
-    blobs = df.select(col).mapInPandas(partial, "sketch binary").collect()
-    out = BloomFilter(nb, nh)
-    for r in blobs:
-        out.union(BloomFilter.deserialize(bytes(r.sketch)))
-    return out.serialize()
+    def merge_blobs(blobs: list[bytes]) -> bytes:
+        out = BloomFilter(nb, nh)
+        for b in blobs:
+            out.union(BloomFilter.deserialize(bytes(b)))
+        return out.serialize()
+
+    partials = df.select(col).mapInPandas(partial, "sketch binary")
+    return _tree_merge_blobs(partials, merge_blobs)
 
 
 def bloom_semi_filter(

@@ -27,6 +27,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact word-3-gram-shingle Jaccard pairs >= threshold via the
     distributed shingle-join algorithm: distinct (doc, shingle) →
@@ -34,11 +35,18 @@ def ngram_jaccard_pairs(
     set sizes. Texts with < 3 tokens contribute one whole-text
     shingle (the MinHash kernel's convention, functions/minhash.py).
 
-    Exact (oracle-checkable) counterpart of MinHash-LSH dedup. Scale
-    note: the shingle self-join is quadratic in the document frequency
-    of the hottest shingle — at web scale apply a document-frequency
-    cap (prefix filtering) before the join; here exactness wins
-    because the oracle compares values.
+    Exact (oracle-checkable) counterpart of MinHash-LSH dedup.
+
+    ``max_doc_freq`` is the web-scale knob: the shingle self-join is
+    quadratic in the document frequency of the hottest shingle, so at
+    scale boilerplate shingles ("terms of service …") must be dropped
+    before the join. When set, shingles appearing in more than
+    ``max_doc_freq`` documents are removed from the REPRESENTATION
+    (both intersections and set sizes — i.e. Jaccard over non-stop
+    shingles, a deterministic, well-defined semantic), the hot list is
+    broadcast for an anti-join, and the number of dropped shingles is
+    logged — never silently truncated. None (the oracle-checked
+    default) keeps exactness.
     Returns (a, b, jaccard).
     """
     arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -52,6 +60,23 @@ def ngram_jaccard_pairs(
         .filter(F.col("tok") != "")
         .distinct()
     )
+    if max_doc_freq is not None:
+        import logging
+
+        hot = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("tok")
+        )
+        n_hot = hot.count()
+        logging.getLogger(__name__).warning(
+            "ngram_jaccard_pairs: dropping %d shingles with doc-freq > %d",
+            n_hot,
+            max_doc_freq,
+        )
+        if n_hot:
+            toks = toks.join(F.broadcast(hot), "tok", "left_anti")
     sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         toks.alias("x")

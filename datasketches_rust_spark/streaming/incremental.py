@@ -17,9 +17,21 @@ state table.  Each micro-batch:
      never recomputed for old rows; this is the streaming analog of
      the checkpoint/resume contract in sources/checkpoint.py),
   2. appends them to the signature state table,
-  3. re-derives band buckets that gained a member and the affected
-     pairs, then recomputes cluster assignments from the (cheap,
-     id-pair) edge state.
+  3. DELTA-BANDING: only band buckets that gained a member this batch
+     re-pair (a semi-join of the banded state on the new rows' band
+     keys); resulting verified edges append to an edge state table,
+  4. recomputes cluster assignments from the (cheap, id-pair) edge
+     state — CC must be global because one new edge can merge two old
+     clusters, but it runs over ids+edges only, never signatures.
+
+Why the edge accumulation is sound: a pair inside an untouched bucket
+was discoverable in the batch that completed that bucket, so it is
+already in the edge state; a pair whose bucket gained a member emerges
+from the affected-bucket clique/chain this batch. Accumulated chain
+edges across batches are a superset of the final batch chain but
+connect exactly the same bucket members, so connected components are
+identical to the batch pipeline (the equality asserted in
+tests/test_streaming.py).
 
 Batch-equivalence invariant (tested in tests/test_streaming.py): after
 the stream drains, cluster assignments equal the batch pipeline run on
@@ -92,6 +104,10 @@ class IncrementalNearDup:
         return os.path.join(self.state_dir, "signatures")
 
     @property
+    def edges_path(self) -> str:
+        return os.path.join(self.state_dir, "edges")
+
+    @property
     def clusters_path(self) -> str:
         return os.path.join(self.state_dir, "clusters")
 
@@ -102,8 +118,12 @@ class IncrementalNearDup:
             return None
 
     def process_batch(self, batch_df: DataFrame, _batch_id: int = 0) -> None:
-        """One micro-batch: signatures for new rows only → append to
-        state → full re-cluster from (cheap) signature state."""
+        """One micro-batch: new-row signatures → append to state →
+        delta-banding over touched buckets only → append new edges →
+        re-cluster from the id-pair edge state (module docstring for
+        why the accumulated edges give batch-identical components)."""
+        from ..operators.lsh import explode_bands
+
         spark = batch_df.sparkSession
         prev = self._existing_signatures(spark)
         new_rows = batch_df.select(self.id_col, self.text_col)
@@ -113,11 +133,20 @@ class IncrementalNearDup:
                 prev.select(F.col("_id").alias(self.id_col)), on=self.id_col,
                 how="left_anti",
             )
-        new_sigs = text_signatures(new_rows, self.id_col, self.text_col, self.cfg)
+        new_sigs = text_signatures(
+            new_rows, self.id_col, self.text_col, self.cfg
+        ).localCheckpoint(eager=True)
         new_sigs.write.mode("append").parquet(self.sig_path)
 
         sigs = spark.read.parquet(self.sig_path).localCheckpoint(eager=True)
-        edges = verified_text_pairs(sigs, self.cfg)
+        # delta-banding: only buckets that gained a member re-pair
+        touched = (
+            explode_bands(new_sigs, "_id").select("band_id", "band_key").distinct()
+        )
+        new_edges = verified_text_pairs(sigs, self.cfg, touched_keys=touched)
+        new_edges.write.mode("append").parquet(self.edges_path)
+
+        edges = spark.read.parquet(self.edges_path).dropDuplicates(["a", "b"])
         all_ids = sigs.select(F.col("_id").alias("id"))
         out = assign_clusters(all_ids, edges, self.cfg)
         out.write.mode("overwrite").parquet(self.clusters_path)

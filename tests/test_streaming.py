@@ -115,3 +115,53 @@ def test_streaming_window_counts(spark, tmp_path):
     merged = gp.merge(bp, on=["window_start", "event_type"], suffixes=("_s", "_b"))
     assert len(merged) == len(gp)  # every emitted window matches batch…
     assert (merged["n_events_s"] == merged["n_events_b"]).all()  # …exactly
+
+
+def test_delta_banding_restricts_to_touched_buckets(spark):
+    """verified_text_pairs(touched_keys=...) must (a) only emit pairs
+    that share a touched bucket and (b) over the union of batches,
+    reproduce the full batch edge set — the incremental pipeline's
+    correctness argument."""
+    from pyspark.sql import functions as F
+
+    from datasketches_rust_spark.config import DedupConfig
+    from datasketches_rust_spark.operators.dedup import text_signatures, verified_text_pairs
+    from datasketches_rust_spark.operators.lsh import explode_bands
+
+    cfg = DedupConfig()
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    rows = [(i, base + f" tail{i % 3}") for i in range(30)] + [
+        (100 + i, f"totally different text number {i} with unrelated words entirely") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    batch1 = df.filter(F.col("doc_id") % 2 == 0)
+    batch2 = df.filter(F.col("doc_id") % 2 == 1)
+
+    sigs1 = text_signatures(batch1, "doc_id", "text", cfg).localCheckpoint(eager=True)
+    sigs_all = text_signatures(df, "doc_id", "text", cfg).localCheckpoint(eager=True)
+    sigs2_new = text_signatures(batch2, "doc_id", "text", cfg).localCheckpoint(eager=True)
+
+    # batch 1 edges (full banding over batch1 state)
+    e1 = verified_text_pairs(sigs1, cfg).select("a", "b")
+    # batch 2: delta — only buckets touched by batch2's rows
+    touched = explode_bands(sigs2_new, "_id").select("band_id", "band_key").distinct()
+    e2 = verified_text_pairs(sigs_all, cfg, touched_keys=touched).select("a", "b")
+
+    # (a) every delta pair shares a touched bucket
+    banded_all = explode_bands(sigs_all, "_id")
+    in_touched = banded_all.join(touched, ["band_id", "band_key"], "left_semi")
+    touched_ids = {r._id for r in in_touched.select("_id").distinct().collect()}
+    for r in e2.collect():
+        assert r.a in touched_ids and r.b in touched_ids
+
+    # (b) union of batch edges covers the full-batch clique components:
+    # connected components over (e1 ∪ e2) == components of full edges
+    from datasketches_rust_spark.operators.dedup import assign_clusters
+
+    all_ids = df.select(F.col("doc_id").alias("id"))
+    full_edges = verified_text_pairs(sigs_all, cfg)
+    inc = assign_clusters(all_ids, e1.unionByName(e2).withColumn("jaccard_est", F.lit(1.0)), cfg)
+    ful = assign_clusters(all_ids, full_edges, cfg)
+    assert sorted((r.id, r.cluster_id) for r in inc.collect()) == sorted(
+        (r.id, r.cluster_id) for r in ful.collect()
+    )

@@ -271,3 +271,44 @@ def test_v4_corruption_rejected():
     blob2[1] = 9
     with pytest.raises(ValueError):
         ThetaSketch.deserialize(bytes(blob2), cfg)  # bad serial version
+
+
+def test_binomial_bounds_reference_checksums():
+    """Replicates `binomial_bounds.rs` run_test_aux(20, ci, 1e-3) and
+    compares against the reference's OWN expected checksums
+    (`binomial_bounds.rs:602-624`) — covers every regime including the
+    2<=n<=120 equivalent-sigma tables and the exact Bayesian searches."""
+    from math import log as _ln
+
+    from datasketches_rust_spark.functions.theta import (
+        _binomial_lower_bound,
+        _binomial_upper_bound,
+    )
+
+    expected = {
+        1: (7.083330682531043e04, 8.530373642825481e04, 3.273647725073409e04, 3.734024243699785e04, 57750.0),
+        2: (6.539415269641498e04, 8.945522372568645e04, 3.222302546497840e04, 3.904738469737429e04, 57750.0),
+        3: (6.006043493107306e04, 9.318105731423477e04, 3.186269956585285e04, 4.096466221922520e04, 57750.0),
+    }
+    for ci, exp in expected.items():
+        num_samples, count = 0, 0
+        s1 = s2 = s3 = s4 = 0.0
+        while num_samples <= 20:
+            p = 1.0
+            while p >= 1e-3:
+                lb = _binomial_lower_bound(num_samples, p, ci)
+                ub = _binomial_upper_bound(num_samples, p, ci, False)
+                s1 += _ln(lb + 1.0)
+                s2 += _ln(ub + 1.0)
+                count += 2
+                if p < 1.0:
+                    lb = _binomial_lower_bound(num_samples, 1.0 - p, ci)
+                    ub = _binomial_upper_bound(num_samples, 1.0 - p, ci, False)
+                    s3 += _ln(lb + 1.0)
+                    s4 += _ln(ub + 1.0)
+                    count += 2
+                p *= 0.99
+            num_samples = max(num_samples + 1, (1001 * num_samples) // 1000)
+        got = (s1, s2, s3, s4, float(count))
+        for g, e in zip(got, exp):
+            assert g == pytest.approx(e, rel=1e-12), (ci, got, exp)
