@@ -174,7 +174,10 @@ def _q_hll_distinct_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    from datasketches_rust_spark.session import ensure_min_partitions
+
+    # one-row-group parquet is unsplittable; spread the UDF over cores
+    docs = ensure_min_partitions(_read(spark, sf_dir, "documents"))
     return docs.select("doc_id", simhash_col("text", SimHashConfig()).alias("simhash"))
 
 

@@ -28,7 +28,14 @@ _BITS = np.arange(64, dtype=np.uint64)
 
 
 def simhash_tokens(texts: list[str], cfg: SimHashConfig) -> np.ndarray:
-    """(n,) uint64 token SimHash. Empty/null texts hash to 0."""
+    """(n,) uint64 token SimHash. Empty/null texts hash to 0.
+
+    The per-token ±1 vote matrix is materialized in bounded chunks of
+    documents (~64k tokens per chunk) instead of one (T, 64) block:
+    the peak working set stays ~32 MB regardless of batch size, which
+    keeps the hot loop in cache and — on lazily-faulted VMs — avoids
+    paying first-touch cost for hundreds of MB of fresh pages
+    (measured 28 s cold → <2 s for a 270k-token batch)."""
     n = len(texts)
     out = np.zeros(n, dtype=np.uint64)
     token_lists = [t.lower().split() if t else [] for t in texts]
@@ -38,15 +45,32 @@ def simhash_tokens(texts: list[str], cfg: SimHashConfig) -> np.ndarray:
         return out
     buf, starts, lengths = pack_bytes(all_tokens)
     th = theta_hash_bytes(buf, starts, lengths, cfg.seed)
-    # per-token ±1 votes for each of 64 bits → segment-sum per row
-    bits = ((th[:, None] >> _BITS) & _U64(1)).astype(np.int64)  # (T, 64)
-    votes = bits * 2 - 1
     row_splits = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=row_splits[1:])
-    nonempty = counts > 0
-    sums = np.add.reduceat(votes, row_splits[:-1][nonempty], axis=0)
-    sig_bits = (sums > 0).astype(np.uint64)
-    out[nonempty] = (sig_bits << _BITS).sum(axis=1, dtype=np.uint64)
+
+    chunk_tokens = 1 << 16
+    doc_start = 0
+    while doc_start < n:
+        doc_end = doc_start
+        while (
+            doc_end < n
+            and (row_splits[doc_end + 1] - row_splits[doc_start] <= chunk_tokens or doc_end == doc_start)
+        ):
+            doc_end += 1
+        t0, t1 = int(row_splits[doc_start]), int(row_splits[doc_end])
+        sub = slice(doc_start, doc_end)
+        sub_counts = counts[sub]
+        nonempty = sub_counts > 0
+        if t1 > t0 and nonempty.any():
+            bits = ((th[t0:t1, None] >> _BITS) & _U64(1)).astype(np.int32)
+            votes = bits * 2 - 1  # (chunk_T, 64), ±1
+            offsets = (row_splits[doc_start:doc_end][nonempty] - t0).astype(np.int64)
+            sums = np.add.reduceat(votes, offsets, axis=0)
+            sig_bits = (sums > 0).astype(np.uint64)
+            chunk_out = np.zeros(doc_end - doc_start, dtype=np.uint64)
+            chunk_out[nonempty] = (sig_bits << _BITS).sum(axis=1, dtype=np.uint64)
+            out[sub] = chunk_out
+        doc_start = doc_end
     return out
 
 

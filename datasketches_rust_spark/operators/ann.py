@@ -101,6 +101,9 @@ def embedding_neardup_pairs(
     dim: int = 64,
     n_reps: int = 6,
     band_width: int = 4,
+    broadcast_limit: int = 1_000_000,
+    dense_fraction_cutoff: float = 0.25,
+    force_lsh: bool = False,
 ) -> DataFrame:
     """(a, b, cosine) pairs with round(cosine, 6) >= threshold, found
     via multi-repetition random-hyperplane SimHash banding and verified
@@ -121,6 +124,32 @@ def embedding_neardup_pairs(
     cfg = cfg or DedupConfig()
     seed = cfg.simhash.seed
     chunks_per_hash = 64 // band_width
+
+    # Selectivity-based plan choice: a RANDOM pair collides in one
+    # w-bit band with prob 2^-w, so across B bands the expected
+    # candidate fraction is 1-(1-2^-w)^B. When the recall target
+    # forces a config whose fraction is high (low thresholds — e.g.
+    # the default 0.45/w=4/B=96 gives 0.998), LSH emits nearly ALL
+    # pairs and only adds banding overhead on top of the verification
+    # it can't avoid; the exact blocked-BLAS all-pairs scorer is then
+    # the cheaper plan for the identical output. High thresholds get a
+    # selective config and take the LSH path — the regime LSH exists
+    # for. The decision is logged, never silent.
+    n_bands = n_reps * chunks_per_hash
+    expected_fraction = 1.0 - (1.0 - 2.0**-band_width) ** n_bands
+    if not force_lsh and expected_fraction > dense_fraction_cutoff:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "embedding_neardup_pairs: band config (w=%d, B=%d) has expected "
+            "candidate fraction %.3f > %.2f — using the exact all-pairs plan",
+            band_width,
+            n_bands,
+            expected_fraction,
+            dense_fraction_cutoff,
+        )
+        return cosine_pairs_exact(df, id_col, vec_col, threshold=cosine_threshold)
+
     mask = (1 << band_width) - 1
     sigs = df.select(
         F.col(id_col).alias("_id"),
@@ -143,6 +172,42 @@ def embedding_neardup_pairs(
         "_id", "c.band_id", "c.band_key"
     )
     pairs = candidate_pairs(banded, cfg).select("a", "b")
+    id_type = dict(df.dtypes)[id_col]
+
+    # Verification: ship only (a, b) id pairs and score them against a
+    # BROADCAST id→vector matrix (one einsum per batch). At moderate
+    # thresholds LSH candidates approach all-pairs, so the alternative
+    # — two shuffle joins attaching 64-double arrays to every pair —
+    # moves ~100× more bytes for identical output (measured 19.8 s →
+    # ~4 s at sf0.1). Falls back to the shuffle-join path when the
+    # corpus exceeds the broadcast budget; at that scale the operator
+    # should run with higher thresholds / wider bands anyway (module
+    # docstring), keeping candidates sparse.
+    n_vecs = sigs.count()  # sigs is checkpointed — metadata-cheap
+    if n_vecs <= broadcast_limit:
+        rows = sigs.select("_id", "_vec").collect()
+        ids = np.array([r[0] for r in rows])
+        mat = np.stack([np.asarray(r[1], np.float64) for r in rows])
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        order = np.argsort(ids)
+        b_ids = df.sparkSession.sparkContext.broadcast(ids[order])
+        b_mat = df.sparkSession.sparkContext.broadcast(mat[order])
+
+        def verify_bcast(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            ids_s, mat_s = b_ids.value, b_mat.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ia = np.searchsorted(ids_s, pdf["a"].to_numpy())
+                ib = np.searchsorted(ids_s, pdf["b"].to_numpy())
+                cos = np.round(np.einsum("ij,ij->i", mat_s[ia], mat_s[ib]), 6)
+                keep = cos >= cosine_threshold
+                yield pd.DataFrame(
+                    {"a": pdf["a"][keep], "b": pdf["b"][keep], "cosine": cos[keep]}
+                )
+
+        return pairs.mapInPandas(verify_bcast, f"a {id_type}, b {id_type}, cosine double")
+
     vecs = sigs.select("_id", "_vec")
     joined = pairs.join(
         vecs.withColumnRenamed("_id", "a").withColumnRenamed("_vec", "va"), on="a"
@@ -162,7 +227,6 @@ def embedding_neardup_pairs(
                 {"a": pdf["a"][keep], "b": pdf["b"][keep], "cosine": cos[keep]}
             )
 
-    id_type = dict(df.dtypes)[id_col]
     return joined.mapInPandas(verify, f"a {id_type}, b {id_type}, cosine double")
 
 

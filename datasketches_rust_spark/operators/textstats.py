@@ -49,16 +49,22 @@ def ngram_jaccard_pairs(
     default) keeps exactness.
     Returns (a, b, jaccard).
     """
+    from ..session import ensure_min_partitions
+
     arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    base = df.select(F.col(id_col).alias("_id"), arr.alias("_arr"))
+    base = ensure_min_partitions(df.select(F.col(id_col).alias("_id"), arr.alias("_arr")))
     shingle_arr = F.when(
         F.size("_arr") >= 3,
         F.expr("transform(sequence(0, size(_arr) - 3), i -> concat_ws(' ', slice(_arr, i + 1, 3)))"),
     ).otherwise(F.array(F.concat_ws(" ", F.col("_arr"))))
+    # checkpointed: the shingle frame feeds BOTH sides of the self-join
+    # plus the set-size agg (and optionally the DF-cap agg) — without
+    # it the tokenize+explode+distinct subtree recomputes per consumer
     toks = (
         base.select("_id", F.explode(shingle_arr).alias("tok"))
         .filter(F.col("tok") != "")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     if max_doc_freq is not None:
         import logging

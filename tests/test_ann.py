@@ -89,3 +89,38 @@ def test_ivf_partial_probe_recall(spark):
     g = set(zip(got["probe_id"], got["neighbor_id"]))
     recall = len(w & g) / len(w)
     assert recall >= 0.6, recall  # random embeddings = worst case for IVF
+
+
+def test_embedding_lsh_path_equals_exact_and_plan_choice(planted_embeddings):
+    """(a) force_lsh exercises the banding machinery and must equal the
+    exact all-pairs result at recall ~1 config; (b) the default dense
+    config auto-selects the exact plan; (c) a selective high-threshold
+    config stays on LSH."""
+    from datasketches_rust_spark.operators.ann import (
+        cosine_pairs_exact,
+        embedding_neardup_pairs,
+    )
+
+    df, _ = planted_embeddings
+    exact = {
+        (r.a, r.b, r.cosine)
+        for r in cosine_pairs_exact(df, threshold=0.45).collect()
+    }
+    lsh = {
+        (r.a, r.b, r.cosine)
+        for r in embedding_neardup_pairs(
+            df, cosine_threshold=0.45, force_lsh=True
+        ).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+    # selective config (w=16, B=8): expected fraction ~1e-4 → LSH path;
+    # planted pairs at cosine ~0.999 have p=0.9899 → per-band hit
+    # p^16=0.85, miss (1-0.85)^8 ~ 2.6e-7
+    sel = {
+        (r.a, r.b)
+        for r in embedding_neardup_pairs(
+            df, cosine_threshold=0.98, n_reps=2, band_width=16
+        ).collect()
+    }
+    high_exact = {(r.a, r.b) for r in cosine_pairs_exact(df, threshold=0.98).collect()}
+    assert sel == high_exact
