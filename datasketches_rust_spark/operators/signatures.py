@@ -97,6 +97,13 @@ def signatures_direct(
     pixel_simhash long, decode_ok boolean, signature array<long>,
     bands array<long>) — everything downstream (LSH, verification,
     CC) needs; the pixels never leave the worker.
+
+    Filesystem contract: file listing uses a driver-side local glob
+    and workers open paths with ``pyarrow`` directly, so driver and
+    executors must share a POSIX view of ``parquet_path`` (local FS,
+    NFS, or a FUSE mount). On HDFS/S3 swap the glob for a Hadoop
+    FileSystem listing and hand pyarrow an fsspec filesystem — the
+    per-worker read pattern itself is storage-agnostic.
     """
     import glob as _glob
     import os as _os

@@ -15,9 +15,16 @@ shuffling |keys| × |partitions| sketch blobs of ≤ 8·k bytes — the
 exact reason the reference makes every sketch mergeable
 (`datasketches/src/hll/union.rs:79-151` etc.).
 
-The serialized partial is the reference-v3-compatible compact theta
-layout (functions/theta.py), so the shuffle payload doubles as the
-checkpoint format.
+Wire-format interop of the binary ``sketch`` columns (round 2):
+theta partials are the reference's compact v3 layout (v4-compressed
+and legacy v1/v2 decode also supported, functions/theta.py), bloom is
+the family-21 layout and frequent-items the family-10 layout — i.e.
+these BinaryType columns, whether shuffled or checkpointed to
+parquet/Iceberg, are readable by any Apache DataSketches
+implementation (java/cpp/rust) and vice versa. HLL/CPC/CountMin/
+t-digest partials use a documented engine-internal dense layout
+(their reference wire formats exist to compress the *wire*, which
+Parquet/Zstd already does — see each module's docstring).
 """
 
 from __future__ import annotations
