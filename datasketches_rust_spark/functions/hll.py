@@ -300,7 +300,95 @@ class HllSketch:
         self.registers = merged
         return self
 
-    # -- serde (family 7; engine dense layout) ----------------------------------
+    # -- serde: reference family-7 wire format -------------------------------
+    # (`hll/serialization.rs`, `hll/array8.rs:256-347`,
+    # `hll/sketch.rs:274-374`). ``serialize_wire``/``deserialize_wire``
+    # speak the Apache DataSketches HLL layout: 8-byte header
+    # [preints, serVer=1, family=7, lg_k, lg_arr, flags, state, mode]
+    # then mode-specific payload. We always WRITE HLL-mode/HLL8 (the
+    # engine is dense Array8) and READ LIST, SET, and HLL/HLL8 blobs;
+    # HLL4/HLL6 register packings are rejected with a clear message
+    # (4/6-bit nibble + aux-map decoding — not needed for interop with
+    # sketches this engine writes). Note the DS wire format carries no
+    # seed, so cross-impl exchange assumes the default seed — the
+    # engine-internal ``serialize`` (below) keeps the seed for the
+    # Spark shuffle path's compatibility checks.
+
+    _WIRE_EMPTY, _WIRE_COMPACT, _WIRE_OOO = 4, 8, 16
+    _MODE_LIST, _MODE_SET, _MODE_HLL = 0, 1, 2
+    _TGT_HLL8 = 2
+
+    def serialize_wire(self) -> bytes:
+        regs = self.registers.astype(np.float64)
+        kxq0 = float(np.power(2.0, -regs[self.registers < 32]).sum())
+        kxq1 = float(np.power(2.0, -regs[self.registers >= 32]).sum())
+        flags = self._WIRE_OOO if self.out_of_order else 0
+        mode_byte = self._MODE_HLL | (self._TGT_HLL8 << 2)
+        out = struct.pack("<BBBBBBBB", 10, 1, 7, self.lg_k, 0, flags, 0, mode_byte)
+        out += struct.pack("<dddII", self.hip_accum, kxq0, kxq1,
+                           int((self.registers == 0).sum()), 0)
+        return out + self.registers.tobytes()
+
+    @staticmethod
+    def deserialize_wire(data: bytes, seed: int = DEFAULT_UPDATE_SEED) -> "HllSketch":
+        if len(data) < 8:
+            raise ValueError("HLL wire bytes too short")
+        preints, ver, family, lg_k, lg_arr, flags, state, mode_byte = struct.unpack_from(
+            "<BBBBBBBB", data, 0
+        )
+        if family != 7:
+            raise ValueError(f"not an HLL sketch (family {family})")
+        if ver != 1:
+            raise ValueError(f"unsupported HLL serial version {ver}")
+        if not 4 <= lg_k <= 21:
+            raise ValueError(f"lg_k must be in [4, 21], got {lg_k}")
+        cur_mode = mode_byte & 0x3
+        tgt = (mode_byte >> 2) & 0x3
+        empty = bool(flags & HllSketch._WIRE_EMPTY)
+        compact = bool(flags & HllSketch._WIRE_COMPACT)
+        ooo = bool(flags & HllSketch._WIRE_OOO)
+        sk = HllSketch(lg_k, seed, out_of_order=True)
+
+        def _absorb_coupons(coupons: np.ndarray) -> None:
+            coupons = coupons[coupons != 0]
+            slot26 = (coupons & np.uint32(_KEY_MASK_26)).astype(np.int64)
+            value = (coupons >> np.uint32(26)).astype(np.uint8)
+            slot = slot26 & (sk.k - 1)
+            np.maximum.at(sk.registers, slot, value)
+
+        if cur_mode == HllSketch._MODE_LIST:
+            if preints != 2:
+                raise ValueError(f"LIST preamble ints {preints} != 2")
+            n = 0 if empty else (state if compact else 1 << lg_arr)
+            coupons = np.frombuffer(data, dtype="<u4", count=n, offset=8)
+            _absorb_coupons(coupons.astype(np.uint32))
+        elif cur_mode == HllSketch._MODE_SET:
+            if preints != 3:
+                raise ValueError(f"SET preamble ints {preints} != 3")
+            (count,) = struct.unpack_from("<I", data, 8)
+            n = count if compact else 1 << lg_arr
+            coupons = np.frombuffer(data, dtype="<u4", count=n, offset=12)
+            _absorb_coupons(coupons.astype(np.uint32))
+        elif cur_mode == HllSketch._MODE_HLL:
+            if preints != 10:
+                raise ValueError(f"HLL preamble ints {preints} != 10")
+            if tgt != HllSketch._TGT_HLL8:
+                raise ValueError(
+                    "only HLL8 register payloads are decoded; HLL4/HLL6 "
+                    "nibble packings are not supported by this engine"
+                )
+            hip, kxq0, kxq1, _nmin, _aux = struct.unpack_from("<dddII", data, 8)
+            if len(data) < 40 + sk.k:
+                raise ValueError("truncated HLL8 register array")
+            sk.registers = np.frombuffer(data, np.uint8, count=sk.k, offset=40).copy()
+            sk.out_of_order = ooo
+            if not ooo:
+                sk.hip_accum = hip
+        else:
+            raise ValueError(f"invalid HLL mode {cur_mode}")
+        return sk
+
+    # -- serde (engine layout, seed-carrying; used for the shuffle path) ------
 
     def serialize(self) -> bytes:
         head = struct.pack("<BBBQ", 7, 1, self.lg_k, self.seed)

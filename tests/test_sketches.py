@@ -452,3 +452,53 @@ def test_hll_rel_err_tables():
     big = HllSketch(14)
     big.update_u64s(np.arange(100000, dtype=np.uint64))
     assert big.lower_bound(2) <= 100000 <= big.upper_bound(2)
+
+
+def test_hll_family7_wire_format():
+    """serialize_wire emits the DS HLL-mode/HLL8 layout
+    (`hll/array8.rs:307-347`); deserialize_wire round-trips it and
+    decodes LIST/SET coupon blobs (`hll/list.rs:78-103`,
+    `hll/hash_set.rs:96-121`)."""
+    import struct as _st
+
+    s = HllSketch(10)
+    s.update_u64s(np.arange(5000, dtype=np.uint64))
+    s.out_of_order = True
+    blob = s.serialize_wire()
+    assert blob[0] == 10 and blob[1] == 1 and blob[2] == 7 and blob[3] == 10
+    assert blob[7] == (2 | (2 << 2))  # HLL mode, HLL8 target
+    assert len(blob) == 40 + (1 << 10)
+    rt = HllSketch.deserialize_wire(blob)
+    assert (rt.registers == s.registers).all()
+    assert rt.composite_estimate() == s.composite_estimate()
+
+    # in-order sketch keeps its HIP accumulator across the wire
+    h = HllSketch(10)
+    h.update_u64s(np.arange(1000, dtype=np.uint64))
+    rt2 = HllSketch.deserialize_wire(h.serialize_wire())
+    assert not rt2.out_of_order and rt2.estimate() == h.estimate()
+
+    # LIST-mode blob: header + 3 compact coupons
+    from datasketches_rust_spark.functions.hll import _coupons_from_h
+    from datasketches_rust_spark.hashes import murmur3_x64_128_u64s
+
+    h1, h2 = murmur3_x64_128_u64s(np.arange(3, dtype=np.uint64), 9001)
+    slot26, value = _coupons_from_h(h1, h2)
+    coupons = (value.astype(np.uint32) << 26) | slot26.astype(np.uint32)
+    lst = _st.pack("<BBBBBBBB", 2, 1, 7, 10, 3, 8, 3, 0)  # compact flag, count=3, LIST/HLL4
+    lst += coupons.astype("<u4").tobytes()
+    sk = HllSketch.deserialize_wire(lst)
+    ref = HllSketch(10)
+    ref.update_u64s(np.arange(3, dtype=np.uint64))
+    assert (sk.registers == ref.registers).all()
+
+    # SET-mode blob: 12-byte preamble + coupons
+    st = _st.pack("<BBBBBBBB", 3, 1, 7, 10, 5, 8, 0, 1) + _st.pack("<I", 3)
+    st += coupons.astype("<u4").tobytes()
+    sk2 = HllSketch.deserialize_wire(st)
+    assert (sk2.registers == ref.registers).all()
+
+    import pytest as _pt
+    bad = bytearray(blob); bad[7] = 2 | (0 << 2)  # claim HLL4
+    with _pt.raises(ValueError):
+        HllSketch.deserialize_wire(bytes(bad))
