@@ -150,21 +150,51 @@ class CountMinSketch:
         self.counts = np.floor(self.counts * decay).astype(np.int64)
         self.total_weight = int(self.total_weight * decay)
 
-    # -- serde (family 18, `codec/family.rs:36-91`; engine layout) ----------
+    # -- serde: reference family-18 wire format ------------------------------
+    # (`countmin/sketch.rs:273-405`, `countmin/serialization.rs:18-20`):
+    # [pre_longs=2, serVer=1, family=18, flags][unused u32]
+    # [num_buckets u32][num_hashes u8][seed_hash u16 LE][pad u8]
+    # + non-empty: [total_weight 8B LE][counts 8B LE each, row-major].
+    # The wire carries only the 16-bit seed hash (like theta), so
+    # deserialize validates it against the expected seed.
+
+    _EMPTY_FLAG = 1 << 0
 
     def serialize(self) -> bytes:
-        head = struct.pack(
-            "<BBBIQq", 18, 1, self.num_hashes, self.num_buckets, self.seed, self.total_weight
+        empty = self.total_weight == 0 and not self.counts.any()
+        out = struct.pack(
+            "<BBBBIIBHB",
+            2,
+            1,
+            18,
+            self._EMPTY_FLAG if empty else 0,
+            0,
+            self.num_buckets,
+            self.num_hashes,
+            self.seed_hash,
+            0,
         )
-        return head + self.counts.astype("<i8").tobytes()
+        if empty:
+            return out
+        return out + struct.pack("<q", self.total_weight) + self.counts.astype("<i8").tobytes()
 
     @staticmethod
     def deserialize(data: bytes, seed: int = DEFAULT_UPDATE_SEED) -> "CountMinSketch":
-        family, _ver, nh, nb, sseed, tw = struct.unpack_from("<BBBIQq", data, 0)
+        if len(data) < 16:
+            raise ValueError("countmin bytes too short")
+        pre, ver, family, flags, _u, nb, nh, seed_hash, _pad = struct.unpack_from(
+            "<BBBBIIBHB", data, 0
+        )
         if family != 18:
             raise ValueError(f"not a countmin sketch (family {family})")
-        if sseed != seed:
-            raise ValueError("seed mismatch")
-        off = struct.calcsize("<BBBIQq")
-        counts = np.frombuffer(data, dtype="<i8", count=nh * nb, offset=off).reshape(nh, nb)
+        if ver != 1:
+            raise ValueError(f"unsupported countmin serial version {ver}")
+        if seed_hash != compute_seed_hash(seed):
+            raise ValueError(f"seed hash mismatch: {seed_hash}")
+        if flags & CountMinSketch._EMPTY_FLAG:
+            return CountMinSketch(nh, nb, seed)
+        if len(data) < 16 + 8 + nh * nb * 8:
+            raise ValueError("truncated countmin counters")
+        (tw,) = struct.unpack_from("<q", data, 16)
+        counts = np.frombuffer(data, dtype="<i8", count=nh * nb, offset=24).reshape(nh, nb)
         return CountMinSketch(nh, nb, seed, counts.copy(), tw)

@@ -502,3 +502,35 @@ def test_hll_family7_wire_format():
     bad = bytearray(blob); bad[7] = 2 | (0 << 2)  # claim HLL4
     with _pt.raises(ValueError):
         HllSketch.deserialize_wire(bytes(bad))
+
+
+def test_countmin_family18_wire_format():
+    """Layout per `countmin/sketch.rs:273-304`: 16-byte preamble with
+    seed hash, total_weight then row-major 8-byte counters."""
+    import struct as _st
+
+    from datasketches_rust_spark.hashes import compute_seed_hash
+
+    cm = CountMinSketch(3, 32)
+    cm.update_batch(["a", "b", "a"], np.array([5, 2, 1]))
+    blob = cm.serialize()
+    assert blob[0] == 2 and blob[1] == 1 and blob[2] == 18 and blob[3] == 0
+    nb, nh, sh = _st.unpack_from("<IBH", blob, 8)
+    assert (nb, nh) == (32, 3) and sh == compute_seed_hash(cm.seed)
+    (tw,) = _st.unpack_from("<q", blob, 16)
+    assert tw == 8
+    assert len(blob) == 24 + 3 * 32 * 8
+    rt = CountMinSketch.deserialize(blob)
+    assert rt.estimate("a") == cm.estimate("a") and rt.total_weight == 8
+    assert rt.serialize() == blob
+
+    # empty form: preamble only, EMPTY flag
+    e = CountMinSketch(3, 32).serialize()
+    assert len(e) == 16 and e[3] == 1
+    assert CountMinSketch.deserialize(e).total_weight == 0
+
+    with pytest.raises(ValueError):
+        CountMinSketch.deserialize(blob, seed=777)  # wrong seed hash
+    bad = bytearray(blob); bad[2] = 3
+    with pytest.raises(ValueError):
+        CountMinSketch.deserialize(bytes(bad))
