@@ -244,26 +244,86 @@ class TDigest:
         c = self.cdf(split_points)
         return [c[0]] + [c[i] - c[i - 1] for i in range(1, len(c))]
 
-    # -- serde (family 20; engine layout) ----------------------------------------
+    # -- serde: reference family-20 wire format ------------------------------
+    # (`tdigest/sketch.rs:404-474,497-624`, `tdigest/serialization.rs`):
+    # [pre_longs, serVer=1, family=20][k u16 LE][flags][unused u16]
+    # empty → stop; single-value → f64 value; multiple → [n_centroids
+    # u32][n_buffered u32][min f64][max f64] then (mean f64, weight u64)
+    # per centroid. Reads both the f64 and the C++ tdigest<float> f32
+    # variant; an all-zero first word auto-dispatches to the tdunning
+    # compat decoder exactly like the reference (`sketch.rs:507-513`).
+
+    _F_EMPTY, _F_SINGLE, _F_REVERSE = 1, 2, 4
 
     def serialize(self) -> bytes:
         self.compress()
-        head = struct.pack(
-            "<BBHIddq", 20, 1, self.k, len(self.means), self.min, self.max,
-            int(self.centroids_weight),
-        )
-        return head + self.means.astype("<f8").tobytes() + self.weights.astype("<f8").tobytes()
+        n = len(self.means)
+        total_w = self.total_weight()
+        flags = 0
+        if total_w == 0:
+            flags |= self._F_EMPTY
+        elif total_w == 1 and n == 1:
+            flags |= self._F_SINGLE
+        if self.reverse_merge:
+            flags |= self._F_REVERSE
+        single = bool(flags & self._F_SINGLE)
+        pre = 1 if (flags & self._F_EMPTY or single) else 2
+        out = bytearray(struct.pack("<BBBHBH", pre, 1, 20, self.k, flags, 0))
+        if flags & self._F_EMPTY:
+            return bytes(out)
+        if single:
+            out += struct.pack("<d", self.min)
+            return bytes(out)
+        out += struct.pack("<IIdd", n, 0, self.min, self.max)
+        for m, w in zip(self.means, self.weights):
+            out += struct.pack("<dQ", float(m), int(w))
+        return bytes(out)
 
     @staticmethod
-    def deserialize(data: bytes) -> "TDigest":
-        family, _ver, k, n, mn, mx, cw = struct.unpack_from("<BBHIddq", data, 0)
+    def deserialize(data: bytes, is_f32: bool = False) -> "TDigest":
+        if len(data) < 8:
+            raise ValueError("tdigest bytes too short")
+        pre, ver, family, k, flags, _u = struct.unpack_from("<BBBHBH", data, 0)
         if family != 20:
+            if pre == 0 and ver == 0 and family == 0:
+                return deserialize_compat(data)
             raise ValueError(f"not a tdigest (family {family})")
-        off = struct.calcsize("<BBHIddq")
+        if ver != 1:
+            raise ValueError(f"unsupported tdigest serial version {ver}")
+        if k < 10:
+            raise ValueError(f"k must be at least 10, got {k}")
         td = TDigest(k)
-        td.means = np.frombuffer(data, "<f8", count=n, offset=off).copy()
-        td.weights = np.frombuffer(data, "<f8", count=n, offset=off + 8 * n).copy()
-        td.min, td.max, td.centroids_weight = mn, mx, float(cw)
+        if flags & TDigest._F_EMPTY:
+            return td
+        td.reverse_merge = bool(flags & TDigest._F_REVERSE)
+        off = 8
+        if flags & TDigest._F_SINGLE:
+            fmt, sz = ("<f", 4) if is_f32 else ("<d", 8)
+            (v,) = struct.unpack_from(fmt, data, off)
+            td.means = np.array([v], np.float64)
+            td.weights = np.array([1.0], np.float64)
+            td.min = td.max = float(v)
+            td.centroids_weight = 1.0
+            return td
+        n, _nbuf = struct.unpack_from("<II", data, off)
+        off += 8
+        if is_f32:
+            mn, mx = struct.unpack_from("<ff", data, off)
+            off += 8
+            cent = np.frombuffer(data, "<f4", count=2 * n, offset=off).reshape(n, 2)
+            means = cent[:, 0].astype(np.float64)
+            weights = cent[:, 1].view("<u4").astype(np.float64)
+        else:
+            mn, mx = struct.unpack_from("<dd", data, off)
+            off += 16
+            if len(data) < off + 16 * n:
+                raise ValueError("truncated tdigest centroids")
+            cent = np.frombuffer(data, "<f8", count=2 * n, offset=off).reshape(n, 2)
+            means = cent[:, 0].copy()
+            weights = cent[:, 1].view("<u8").astype(np.float64)
+        td.means, td.weights = means, weights
+        td.min, td.max = float(mn), float(mx)
+        td.centroids_weight = float(weights.sum())
         return td
 
 

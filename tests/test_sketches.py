@@ -534,3 +534,50 @@ def test_countmin_family18_wire_format():
     bad = bytearray(blob); bad[2] = 3
     with pytest.raises(ValueError):
         CountMinSketch.deserialize(bytes(bad))
+
+
+def test_tdigest_family20_wire_format():
+    """Layout per `tdigest/sketch.rs:404-474`: preamble, flags
+    (empty/single/reverse), centroid (mean f64, weight u64) pairs;
+    f32 read variant and tdunning auto-dispatch kept."""
+    import struct as _st
+
+    td = TDigest(100)
+    td.update_batch(np.arange(10_000, dtype=np.float64))
+    blob = td.serialize()
+    assert blob[0] == 2 and blob[1] == 1 and blob[2] == 20
+    (k,) = _st.unpack_from("<H", blob, 3)
+    assert k == 100
+    n, _u = _st.unpack_from("<II", blob, 8)
+    mn, mx = _st.unpack_from("<dd", blob, 16)
+    assert mn == 0.0 and mx == 9999.0
+    assert len(blob) == 32 + 16 * n
+    rt = TDigest.deserialize(blob)
+    assert rt.total_weight() == 10_000
+    assert rt.quantile(0.5) == td.quantile(0.5)
+    assert rt.serialize() == blob
+
+    # empty and single-value forms
+    e = TDigest(50).serialize()
+    assert len(e) == 8 and e[0] == 1 and (e[5] & 1)
+    assert TDigest.deserialize(e).is_empty()
+    s = TDigest(50)
+    s.update(42.5)
+    sb = s.serialize()
+    assert len(sb) == 16 and (sb[5] & 2)
+    rs = TDigest.deserialize(sb)
+    assert rs.total_weight() == 1 and rs.min == 42.5 == rs.max
+
+    # f32 centroid variant (C++ tdigest<float> layout)
+    n32 = 3
+    f32blob = _st.pack("<BBBHBH", 2, 1, 20, 100, 0, 0)
+    f32blob += _st.pack("<II", n32, 0) + _st.pack("<ff", 1.0, 3.0)
+    for m, w in [(1.0, 2), (2.0, 5), (3.0, 1)]:
+        f32blob += _st.pack("<fI", m, w)
+    rf = TDigest.deserialize(f32blob, is_f32=True)
+    assert rf.total_weight() == 8 and rf.min == 1.0 and rf.max == 3.0
+
+    import pytest as _pt
+    bad = bytearray(blob); bad[2] = 3
+    with _pt.raises(ValueError):
+        TDigest.deserialize(bytes(bad))
