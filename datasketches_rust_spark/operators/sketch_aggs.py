@@ -60,7 +60,10 @@ def theta_partial_sketches(
             keys, blobs = [], []
             for k, vals in pdf.groupby(key_col, sort=False)[item_col]:
                 keys.append(k)
-                blobs.append(_sketch_values(vals, cfg).serialize())
+                # v4-compressed wire format: ~2x smaller shuffle blobs
+                # (delta bit-packing); deserialize dispatches on the
+                # serial-version byte so v3 checkpoints still read
+                blobs.append(_sketch_values(vals, cfg).serialize_compressed())
             yield pd.DataFrame({key_col: keys, "sketch": blobs})
 
     return df.select(key_col, item_col).mapInPandas(partial, schema)
