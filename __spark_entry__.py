@@ -197,6 +197,13 @@ def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(docs, "doc_id", "text")
 
 
+def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_rust_spark.operators.textstats import bpe_token_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_token_stats(docs, "doc_id", "text")
+
+
 def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_rust_spark.operators.textstats import quality_scores
 
@@ -459,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
+        "bpe_token_stats": _q_bpe_token_stats,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_pairs_exact": _q_embedding_pairs_exact,
@@ -630,6 +638,16 @@ def oracle_sql() -> dict[str, str]:
                 length(text)::DOUBLE
                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)::DOUBLE
                     AS chars_per_token
+            FROM documents
+        """,
+        "bpe_token_stats": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+                       AS n_bpe_tokens,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::DOUBLE
+                       / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)::DOUBLE
+                       AS bpe_per_ws
             FROM documents
         """,
         "ann_topk_embeddings": """

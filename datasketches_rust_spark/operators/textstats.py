@@ -151,3 +151,25 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (n_space.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")).alias("space_ratio"),
         (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")).alias("chars_per_token"),
     )
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """BPE-style pre-tokenization counts — the GPT-2-family splitter's
+    shape (letter runs / digit runs / single punctuation, the
+    coarse-grained version of the published GPT-2 pattern without
+    look-aheads so it stays engine-portable and SQL-expressible).
+    ``n_bpe_tokens`` upper-bounds the post-merge BPE token count and is
+    the standard cheap budget estimator in training-data pipelines;
+    reported next to whitespace tokens and the subword expansion ratio.
+    Pure codegen (regexp built-ins), oracle-checkable.
+    Returns (id, n_bpe_tokens, n_ws_tokens, bpe_per_ws).
+    """
+    t = F.col(text_col)
+    bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))).cast("long")
+    ws = F.size(F.split(F.trim(t), r"\s+")).cast("long")
+    return df.select(
+        F.col(id_col),
+        bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        (bpe.cast("double") / F.greatest(ws, F.lit(1)).cast("double")).alias("bpe_per_ws"),
+    )
