@@ -235,6 +235,7 @@ def cosine_pairs_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """(a, b, cosine) for ALL pairs with cosine >= threshold — the
     exact O(n²) baseline the LSH path's recall is measured against.
@@ -245,12 +246,21 @@ def cosine_pairs_exact(
     sf0.1); broadcasting the corpus matrix to the workers and letting
     BLAS do block × corpusᵀ is ~50× faster and shuffles nothing.
     Cosine is rounded to 6 decimals so the DuckDB oracle matches
-    exactly. One side must fit in a broadcast; beyond that use
-    ``embedding_neardup_pairs`` (LSH).
+    exactly. One side must fit in a broadcast; the ``max_rows`` guard
+    makes that explicit — exceeding it raises instead of silently
+    OOMing the driver (use ``embedding_neardup_pairs`` with a
+    selective band config beyond it).
     """
     import pandas as pd
 
     spark = df.sparkSession
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs_exact collects the corpus at the driver; {n} rows "
+            f"exceeds max_rows={max_rows} — use embedding_neardup_pairs (LSH) "
+            "with a selective band config at this scale"
+        )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows])
     mat = np.stack([np.asarray(r[1], np.float64) for r in rows])
