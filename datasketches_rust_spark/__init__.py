@@ -4,7 +4,12 @@ Public API surface (see SURVEY.md §2 for the operator inventory and
 README.md for the module map)."""
 
 from .config import DedupConfig, MinHashConfig, SimHashConfig, ThetaConfig
-from .session import ENGINE_CONF, apply_engine_conf, make_local_session
+from .session import (
+    ENGINE_CONF,
+    apply_engine_conf,
+    ensure_min_partitions,
+    make_local_session,
+)
 
 __all__ = [
     "DedupConfig",
@@ -13,5 +18,6 @@ __all__ = [
     "ThetaConfig",
     "ENGINE_CONF",
     "apply_engine_conf",
+    "ensure_min_partitions",
     "make_local_session",
 ]
