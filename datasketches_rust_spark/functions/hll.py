@@ -189,6 +189,8 @@ class HllSketch:
         (`estimator.rs:76-90`) telescopes to
         k * Σ_j 1/(kxq_0 + Σ_{i<j} Δ_i) with events in arrival order —
         no Python loop."""
+        if len(slot) == 0:
+            return
         regs = self.registers
         order = np.argsort(slot, kind="stable")  # slot-major, arrival-minor
         s_sorted = slot[order]
