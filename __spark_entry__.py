@@ -280,6 +280,15 @@ def _q_image_roundtrip_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → area-resize to 16x16 → re-encode, then assert the
+    output stays decodable (resize_ok AND shape carried in w/h)."""
+    from datasketches_rust_spark.operators.images import resize_images
+
+    tbl = _image_table(spark)
+    return resize_images(tbl, 16, 16).select("image_id", "w", "h", "resize_ok")
+
+
 def _q_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_rust_spark.operators.dedup import near_dup_image_pairs
 
@@ -480,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "image_roundtrip_psnr": _q_image_roundtrip_psnr,
         "phash_neardup_pairs": _q_phash_neardup_pairs,
+        "image_resize": _q_image_resize,
         "events_hourly_window": _q_events_hourly_window,
         "events_sessionize": _q_events_sessionize,
         "events_top_users": _q_events_top_users,

@@ -106,3 +106,70 @@ def roundtrip_invariants(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(
         compute, "image_id string, psnr_db double, decode_ok boolean"
     )
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, method: str = "area"
+) -> DataFrame:
+    """Decode → resize → re-encode each image to (out_w, out_h) — the
+    standard normalization step before batching images into a training
+    pipeline. ``method``: 'area' (box average via 2-D bucket means —
+    the right filter for downscaling) or 'nearest' (index mapping,
+    exact for upscales of flat regions). Pure NumPy per buffer inside
+    ``mapInPandas`` (the unavoidable per-buffer decode; everything
+    around it is vectorized), corrupt buffers pass through with
+    ``resize_ok = false`` instead of failing the task.
+
+    Returns (image_id, bytes, w int, h int, fmt, resize_ok boolean) —
+    the same input_hint schema shape, so the output composes with
+    every downstream image operator.
+    """
+    if method not in ("area", "nearest"):
+        raise ValueError(f"unknown resize method {method}")
+
+    def _resize(img: "np.ndarray") -> "np.ndarray":
+        h, w = img.shape[:2]
+        if method == "nearest" or out_w > w or out_h > h:
+            yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+            xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+            return img[yi[:, None], xi[None, :]]
+        # area/box filter: mean over the source box of each output cell
+        ys = (np.arange(out_h + 1) * h // out_h)
+        xs = (np.arange(out_w + 1) * w // out_w)
+        acc = np.zeros((out_h, out_w, img.shape[2]), np.float64)
+        for oy in range(out_h):
+            rows = img[ys[oy] : max(ys[oy + 1], ys[oy] + 1)]
+            # mean over y first, then bucket-mean over x via reduceat
+            rmean = rows.mean(axis=0)
+            sums = np.add.reduceat(rmean, xs[:-1], axis=0)
+            counts = np.maximum(np.diff(xs), 1)[:, None]
+            acc[oy] = sums / counts
+        return np.clip(np.round(acc), 0, 255).astype(np.uint8)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.png import decode_image, encode_image
+
+        for pdf in batches:
+            out_bytes, oks = [], []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                try:
+                    img = decode_image(bytes(data), fmt)
+                    out_bytes.append(encode_image(_resize(img), fmt))
+                    oks.append(True)
+                except Exception:
+                    out_bytes.append(bytes(data))
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "bytes": out_bytes,
+                    "w": pd.array([out_w] * len(pdf), dtype="int32"),
+                    "h": pd.array([out_h] * len(pdf), dtype="int32"),
+                    "fmt": pdf["fmt"],
+                    "resize_ok": oks,
+                }
+            )
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(
+        compute, "image_id string, bytes binary, w int, h int, fmt string, resize_ok boolean"
+    )

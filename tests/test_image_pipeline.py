@@ -112,3 +112,41 @@ def test_determinism_across_partitionings(spark_table):
     a = a.sort_values("id").reset_index(drop=True)
     b = b.sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_resize_images_roundtrip(spark):
+    """Resize output keeps the input_hint schema shape; area filter of
+    a constant image is constant; downscaled checkerboard averages to
+    mid-gray; corrupt buffers flagged not fatal."""
+    import numpy as np
+    import pandas as pd
+
+    from datasketches_rust_spark.operators.images import resize_images
+    from datasketches_rust_spark.sources.png import decode_image, encode_image
+
+    flat = np.full((32, 32, 3), 200, np.uint8)
+    checker = np.zeros((32, 32, 3), np.uint8)
+    checker[::2, ::2] = 255
+    checker[1::2, 1::2] = 255
+    rows = [
+        ("flat", encode_image(flat, "png"), 32, 32, "png", "", 0),
+        ("checker", encode_image(checker, "png"), 32, 32, "png", "", 0),
+        ("corrupt", b"\x00\x01garbage", 32, 32, "png", "", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    out = {r.image_id: r for r in resize_images(df, 8, 8).collect()}
+    assert out["flat"].resize_ok and out["checker"].resize_ok
+    assert not out["corrupt"].resize_ok
+    assert out["flat"].w == 8 and out["flat"].h == 8
+    rf = decode_image(bytes(out["flat"].bytes), "png")
+    assert rf.shape == (8, 8, 3) and (rf == 200).all()
+    rc = decode_image(bytes(out["checker"].bytes), "png")
+    # 2x2 checker block averages to ~127.5 -> rounds to 128
+    assert abs(float(rc.mean()) - 127.5) < 1.0
+
+    # nearest upscale of flat stays flat
+    up = {r.image_id: r for r in resize_images(df, 64, 64, method="nearest").collect()}
+    ru = decode_image(bytes(up["flat"].bytes), "png")
+    assert ru.shape == (64, 64, 3) and (ru == 200).all()
