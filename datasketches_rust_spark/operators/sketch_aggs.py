@@ -148,8 +148,12 @@ def frequent_items_by_count(
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sk = FrequentItemsSketch(max_map_size)
         for pdf in batches:
-            sk.update_batch(pdf[item_col])
-        yield pd.DataFrame({"sketch": [sk.serialize()]})
+            # canonicalize items to str: the output schema is string,
+            # and it pins the wire item-type so the merge side decodes
+            # with the same specialization (family-10 blobs carry no
+            # type tag, exactly like the reference's generic T)
+            sk.update_batch(pdf[item_col].astype(str))
+        yield pd.DataFrame({"sketch": [sk.serialize(item_type="str")]})
 
     partials = df.select(item_col).mapInPandas(partial, "sketch binary")
 
