@@ -80,6 +80,18 @@ def _q_theta_intersect_even_odd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_theta_jaccard_even_odd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimated Jaccard of the even/odd-order custkey sets —
+    exact regime (lg_k=17 >> distinct custkeys at sf<=0.1), so the
+    DuckDB set-algebra oracle matches to the rounded 6th decimal."""
+    from datasketches_rust_spark.operators.sketch_aggs import theta_jaccard_groups
+
+    orders = _read(spark, sf_dir, "orders")
+    keyed = orders.select("o_custkey", (F.col("o_orderkey") % 2 == 0).alias("even"))
+    out = theta_jaccard_groups(keyed, "o_custkey", "even", ThetaConfig(lg_k=17))
+    return out.select(F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_frequent_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _read(spark, sf_dir, "part")
     out = frequent_items_by_count(part, "p_brand", max_map_size=256)
@@ -466,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_distinct_by_nation": _q_theta_distinct_by_nation,
         "theta_union_orders": _q_theta_union_orders,
         "theta_intersect_even_odd": _q_theta_intersect_even_odd,
+        "theta_jaccard_even_odd": _q_theta_jaccard_even_odd,
         "frequent_brands": _q_frequent_brands,
         "exact_dedup_documents": _q_exact_dedup_documents,
         "token_counts": _q_token_counts,
@@ -520,6 +533,13 @@ def oracle_sql() -> dict[str, str]:
                 INTERSECT
                 SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1
             )
+        """,
+        "theta_jaccard_even_odd": """
+            WITH e AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+                 o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1),
+                 i AS (SELECT COUNT(*) n FROM (SELECT * FROM e INTERSECT SELECT * FROM o)),
+                 u AS (SELECT COUNT(*) n FROM (SELECT * FROM e UNION SELECT * FROM o))
+            SELECT ROUND(i.n::DOUBLE / u.n::DOUBLE, 6) AS jaccard FROM i, u
         """,
         "frequent_brands": """
             SELECT p_brand AS brand,

@@ -134,6 +134,40 @@ def theta_intersect_groups(
     )
 
 
+def theta_jaccard_groups(
+    df: DataFrame,
+    item_col: str,
+    split_col: str,
+    cfg: ThetaConfig | None = None,
+) -> DataFrame:
+    """Jaccard similarity of the two halves of a boolean split,
+    estimated from theta sketches: |A∩B| / |A∪B| via sketch
+    intersection and union (`functions/theta.py::jaccard_estimate`,
+    `theta/intersection.rs` + union semantics). Exact while each
+    side's distinct count ≤ k (θ = 1 ⇒ both counts exact) →
+    oracle-checkable. Same two-phase topology as
+    ``theta_intersect_groups``. Returns (jaccard double)."""
+    from ..functions.theta import jaccard_estimate
+
+    cfg = cfg or ThetaConfig()
+    keyed = df.select(F.col(split_col).cast("int").alias("_side"), F.col(item_col))
+    partials = theta_partial_sketches(keyed, "_side", item_col, cfg)
+
+    def merge_all(pdfs: pd.DataFrame) -> pd.DataFrame:
+        sides = {}
+        for side, grp in pdfs.groupby("_side")["sketch"]:
+            sides[side] = theta_union([ThetaSketch.deserialize(b, cfg) for b in grp])
+        j = jaccard_estimate(sides[0], sides[1]) if len(sides) == 2 else 0.0
+        return pd.DataFrame({"jaccard": [j]})
+
+    return (
+        partials.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(lambda _k, p: merge_all(p), "jaccard double")
+        .select("jaccard")
+    )
+
+
 def frequent_items_by_count(
     df: DataFrame, item_col: str, max_map_size: int = 256
 ) -> DataFrame:
