@@ -166,3 +166,61 @@ class IncrementalNearDup:
             .trigger(availableNow=True)
             .start()
         )
+
+
+def streaming_theta_distinct(stream_df: DataFrame, key_col: str, item_col: str,
+                             cfg=None) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key approximate distinct counts whose state IS a serialized
+    theta sketch (v3/v4 wire format) — the reference's mergeable-sketch
+    contract mapped onto Spark's streaming state store. Each
+    micro-batch unions the key's new items into the stored sketch and
+    emits the updated estimate (output mode "update").
+
+    This is the state-store twin of the batch
+    ``theta_distinct_by_key``: bounded state per key (≤ 8·k bytes, the
+    whole point of the sketch vs an exact distinct set that grows with
+    the stream), exactly-once via the state checkpoint, and the
+    estimate after the stream drains equals the batch sketch over the
+    same rows (merge order-insensitivity; tested stream ≡ batch).
+    """
+    import pandas as pd
+
+    from ..config import ThetaConfig
+    from ..functions.theta import ThetaSketch, theta_union
+    from ..operators.sketch_aggs import _sketch_values
+
+    cfg = cfg or ThetaConfig()
+    key_type = dict(stream_df.dtypes)[key_col]
+
+    def update_fn(key, pdfs, state):
+        sk = (
+            ThetaSketch.deserialize(bytes(state.get[0]), cfg)
+            if state.exists
+            else ThetaSketch.empty(cfg)
+        )
+        for pdf in pdfs:
+            if len(pdf):
+                sk = theta_union([sk, _sketch_values(pdf[item_col], cfg)])
+        state.update((sk.serialize_compressed(),))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "distinct_estimate": [sk.estimate()]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType,
+        StructField,
+        StructType,
+        _parse_datatype_string,
+    )
+
+    out_schema = _parse_datatype_string(f"{key_col} {key_type}, distinct_estimate double")
+    state_schema = StructType([StructField("sketch", BinaryType())])
+    return (
+        stream_df.select(key_col, item_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update_fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

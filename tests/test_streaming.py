@@ -165,3 +165,48 @@ def test_delta_banding_restricts_to_touched_buckets(spark):
     assert sorted((r.id, r.cluster_id) for r in inc.collect()) == sorted(
         (r.id, r.cluster_id) for r in ful.collect()
     )
+
+
+def test_streaming_theta_distinct_stateful(spark, tmp_path):
+    """applyInPandasWithState theta-distinct: state is a serialized
+    (v4-compressed) sketch per key; after draining a 2-file stream the
+    latest per-key estimate equals the batch COUNT DISTINCT (exact
+    regime)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from datasketches_rust_spark.config import ThetaConfig
+    from datasketches_rust_spark.streaming.incremental import streaming_theta_distinct
+
+    src = str(tmp_path / "src")
+    rows1 = [(i % 3, i) for i in range(300)]
+    rows2 = [(i % 3, i) for i in range(200, 500)]  # overlap on purpose
+    spark.createDataFrame(rows1, "k int, v long").write.parquet(src + "/f1.parquet")
+    spark.createDataFrame(rows2, "k int, v long").write.parquet(src + "/f2.parquet")
+
+    stream = (
+        spark.readStream.schema("k int, v long")
+        .option("maxFilesPerTrigger", 1)  # force >1 micro-batch → state reuse
+        .parquet(src + "/*")
+    )
+    out = streaming_theta_distinct(stream, "k", "v", ThetaConfig(lg_k=12))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("theta_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # latest update per key (memory sink keeps every update row)
+    upd = spark.sql("SELECT * FROM theta_state").toPandas()
+    latest = upd.groupby("k")["distinct_estimate"].last()
+    batch = dict(
+        spark.createDataFrame(rows1 + rows2, "k int, v long")
+        .groupBy("k")
+        .agg(F.countDistinct("v").alias("n"))
+        .collect()
+    )
+    for k, n in batch.items():
+        assert latest[k] == float(n), (k, latest[k], n)
