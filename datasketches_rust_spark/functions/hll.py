@@ -374,15 +374,50 @@ class HllSketch:
         elif cur_mode == HllSketch._MODE_HLL:
             if preints != 10:
                 raise ValueError(f"HLL preamble ints {preints} != 10")
-            if tgt != HllSketch._TGT_HLL8:
-                raise ValueError(
-                    "only HLL8 register payloads are decoded; HLL4/HLL6 "
-                    "nibble packings are not supported by this engine"
-                )
-            hip, kxq0, kxq1, _nmin, _aux = struct.unpack_from("<dddII", data, 8)
-            if len(data) < 40 + sk.k:
-                raise ValueError("truncated HLL8 register array")
-            sk.registers = np.frombuffer(data, np.uint8, count=sk.k, offset=40).copy()
+            hip, kxq0, kxq1, _nmin, aux_count = struct.unpack_from("<dddII", data, 8)
+            k = sk.k
+            if tgt == HllSketch._TGT_HLL8:
+                # `hll/array8.rs:256-305`: k raw register bytes
+                if len(data) < 40 + k:
+                    raise ValueError("truncated HLL8 register array")
+                sk.registers = np.frombuffer(data, np.uint8, count=k, offset=40).copy()
+            elif tgt == 1:  # HLL6 (`hll/array6.rs:72-97,182-232`)
+                num_bytes = ((k * 3) >> 2) + 1
+                if len(data) < 40 + num_bytes:
+                    raise ValueError("truncated HLL6 register array")
+                raw = np.frombuffer(data, np.uint8, count=num_bytes, offset=40)
+                bits = np.unpackbits(raw, bitorder="little")[: k * 6].reshape(k, 6)
+                sk.registers = (
+                    bits.astype(np.uint8) << np.arange(6, dtype=np.uint8)
+                ).sum(axis=1).astype(np.uint8)
+            elif tgt == 0:  # HLL4 (`hll/array4.rs:78-106,300-370`)
+                cur_min = state
+                num_bytes = k >> 1
+                if len(data) < 40 + num_bytes:
+                    raise ValueError("truncated HLL4 register array")
+                raw_bytes = np.frombuffer(data, np.uint8, count=num_bytes, offset=40)
+                nibbles = np.empty(k, np.uint8)
+                nibbles[0::2] = raw_bytes & 0x0F  # even slots: low nibble
+                nibbles[1::2] = raw_bytes >> 4  # odd slots: high nibble
+                regs = (cur_min + nibbles).astype(np.uint8)
+                aux_covered = np.zeros(k, dtype=bool)
+                if aux_count:
+                    # overflow slots (raw == 15) live in the aux coupon
+                    # list appended after the register array
+                    off = 40 + num_bytes
+                    if len(data) < off + 4 * aux_count:
+                        raise ValueError("truncated HLL4 aux map")
+                    aux = np.frombuffer(data, "<u4", count=aux_count, offset=off)
+                    slots = (aux & np.uint32(_KEY_MASK_26)).astype(np.int64) & (k - 1)
+                    vals = (aux >> np.uint32(26)).astype(np.uint8)
+                    regs[slots] = vals
+                    aux_covered[slots] = True
+                # AUX_TOKEN nibbles without an aux entry fall back to
+                # cur_min, mirroring `array4.rs:100-105`
+                regs[(nibbles == 15) & ~aux_covered] = cur_min
+                sk.registers = regs
+            else:
+                raise ValueError(f"invalid HLL target type {tgt}")
             sk.out_of_order = ooo
             if not ooo:
                 sk.hip_accum = hip

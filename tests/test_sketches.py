@@ -499,7 +499,7 @@ def test_hll_family7_wire_format():
     assert (sk2.registers == ref.registers).all()
 
     import pytest as _pt
-    bad = bytearray(blob); bad[7] = 2 | (0 << 2)  # claim HLL4
+    bad = bytearray(blob); bad[7] = 2 | (3 << 2)  # invalid target type
     with _pt.raises(ValueError):
         HllSketch.deserialize_wire(bytes(bad))
 
@@ -581,3 +581,41 @@ def test_tdigest_family20_wire_format():
     bad = bytearray(blob); bad[2] = 3
     with _pt.raises(ValueError):
         TDigest.deserialize(bytes(bad))
+
+
+def test_hll_wire_hll6_and_hll4_decode():
+    """Decode 6-bit packed (array6.rs:72-97) and 4-bit nibble + aux-map
+    (array4.rs:78-106) register payloads built to the reference layout."""
+    import struct as _st
+
+    rng = np.random.default_rng(5)
+    lg_k = 8
+    k = 1 << lg_k
+    regs = rng.integers(0, 40, size=k).astype(np.uint8)
+
+    # --- HLL6: little-endian 6-bit fields
+    num_bytes6 = ((k * 3) >> 2) + 1
+    bitstream = np.zeros(num_bytes6 * 8, np.uint8)
+    for s in range(k):
+        for b in range(6):
+            bitstream[s * 6 + b] = (regs[s] >> b) & 1
+    payload6 = np.packbits(bitstream, bitorder="little").tobytes()
+    head6 = _st.pack("<BBBBBBBB", 10, 1, 7, lg_k, 0, 16, 0, 2 | (1 << 2))  # OOO, HLL/HLL6
+    head6 += _st.pack("<dddII", 0.0, 0.0, 0.0, int((regs == 0).sum()), 0)
+    sk6 = HllSketch.deserialize_wire(head6 + payload6)
+    assert (sk6.registers == regs).all() and sk6.out_of_order
+
+    # --- HLL4: cur_min offset nibbles, overflows in the aux map
+    cur_min = 2
+    regs4 = np.clip(regs, cur_min, None).astype(np.uint8)
+    over = np.flatnonzero(regs4 - cur_min >= 15)
+    nibbles = np.minimum(regs4 - cur_min, 15).astype(np.uint8)
+    packed = (nibbles[0::2] | (nibbles[1::2] << 4)).astype(np.uint8)
+    aux = np.array(
+        [(int(regs4[s]) << 26) | int(s) for s in over], dtype="<u4"
+    )
+    head4 = _st.pack("<BBBBBBBB", 10, 1, 7, lg_k, 0, 16, cur_min, 2 | (0 << 2))
+    head4 += _st.pack("<dddII", 0.0, 0.0, 0.0, 0, len(aux))
+    blob4 = head4 + packed.tobytes() + aux.tobytes()
+    sk4 = HllSketch.deserialize_wire(blob4)
+    assert (sk4.registers == regs4).all()
