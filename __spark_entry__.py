@@ -243,6 +243,22 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"), F.col("cosine"))
 
 
+def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding path itself, driver-exercised: a SELECTIVE band
+    config (w=7, 4 reps → expected candidate fraction 0.245, below the
+    dense-plan cutoff) at threshold 0.5. With the fixed seed it finds
+    exactly the >= 0.5 exact pair set at sf <= 0.01 (empirically
+    recall 1.0 on this data; the config's theoretical per-pair miss
+    prob at the observed 0.513 cosine is ~0.1 — the data is fixed, so
+    the result is deterministic and oracle-checked)."""
+    from datasketches_rust_spark.operators.ann import embedding_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", cosine_threshold=0.5, band_width=7, n_reps=4
+    ).select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"), F.col("cosine"))
+
+
 def _image_table(spark: SparkSession, n_rows: int = 400) -> DataFrame:
     """Deterministic synthetic image+caption table (input_hint schema);
     generated executor-side — no external data (driver instruction).
@@ -491,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "embedding_pairs_exact": _q_embedding_pairs_exact,
         "ivf_topk_embeddings": _q_ivf_topk_embeddings,
         "tdigest_price_minmax": _q_tdigest_price_minmax,
@@ -719,6 +736,14 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE ROUND(list_cosine_similarity(
                        a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+        """,
+        "embedding_neardup_lsh": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.5
         """,
         "embedding_pairs_exact": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
