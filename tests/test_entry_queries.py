@@ -134,3 +134,38 @@ def test_from_path_pipeline_matches_dataframe_pipeline(spark, tmp_path):
     )
     assert (a["id"] == b["id"]).all()
     assert (a["cluster_id"] == b["cluster_id"]).all()
+
+
+def test_sql_registry_theta(spark):
+    """Pure-SQL sketch usage: build → estimate == COUNT DISTINCT in the
+    exact regime; union re-aggregation of pre-sketched rollups."""
+    from pyspark.sql import functions as F
+
+    from datasketches_rust_spark.config import ThetaConfig
+    from datasketches_rust_spark.functions.sql_registry import register_sql_functions
+
+    # lg_k=14 keeps even the global union in the exact regime (5000 < k)
+    register_sql_functions(spark, ThetaConfig(lg_k=14))
+    df = spark.range(0, 5000).selectExpr("id % 4 AS k", "id AS v")
+    df.createOrReplaceTempView("t_sql_reg")
+    got = {
+        r.k: (r.est, r.lb, r.ub)
+        for r in spark.sql(
+            """SELECT k,
+                      theta_estimate(theta_sketch_agg(v)) AS est,
+                      theta_lb(theta_sketch_agg(v)) AS lb,
+                      theta_ub(theta_sketch_agg(v)) AS ub
+               FROM t_sql_reg GROUP BY k"""
+        ).collect()
+    }
+    for k in range(4):
+        assert got[k][0] == 1250.0 and got[k][1] <= 1250.0 <= got[k][2]
+
+    # two-level rollup: per-k sketches unioned to a global sketch
+    spark.sql(
+        "SELECT k, theta_sketch_agg(v) AS sk FROM t_sql_reg GROUP BY k"
+    ).createOrReplaceTempView("t_rollup")
+    (total,) = spark.sql(
+        "SELECT theta_estimate(theta_union_agg(sk)) AS n FROM t_rollup"
+    ).first()
+    assert total == 5000.0
