@@ -38,15 +38,6 @@ from .hll import HllSketch
 from .theta import ThetaSketch, theta_union
 
 
-def _build_sketch(vals: pd.Series, cfg: ThetaConfig) -> ThetaSketch:
-    arr = vals.dropna().to_numpy()
-    if len(arr) == 0:
-        return ThetaSketch.empty(cfg)
-    if arr.dtype.kind in ("i", "u"):
-        return ThetaSketch.from_u64s(arr.astype(np.int64).view(np.uint64), cfg)
-    return ThetaSketch.from_strings([str(v) for v in arr])  # pragma: no cover
-
-
 def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) -> None:
     """Register the sketch functions on this session's UDF registry."""
     cfg = cfg or ThetaConfig()
