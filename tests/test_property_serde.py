@@ -1,0 +1,105 @@
+"""Property-based round-trip tests (hypothesis) for the wire formats —
+serialization must be a bijection on canonical sketch states for ANY
+input multiset, not just the fixture cases.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datasketches_rust_spark.config import ThetaConfig
+from datasketches_rust_spark.functions.bloom import BloomFilter
+from datasketches_rust_spark.functions.countmin import CountMinSketch
+from datasketches_rust_spark.functions.frequencies import FrequentItemsSketch
+from datasketches_rust_spark.functions.hll import HllSketch
+from datasketches_rust_spark.functions.substring import (
+    _lcs_suffix_array,
+    longest_common_substring_len,
+)
+from datasketches_rust_spark.functions.tdigest import TDigest
+from datasketches_rust_spark.functions.theta import ThetaSketch
+
+
+u64s = st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300)
+
+
+@settings(max_examples=30, deadline=None)
+@given(vals=u64s, lg_k=st.integers(min_value=5, max_value=10))
+def test_theta_v3_v4_roundtrip_any_input(vals, lg_k):
+    cfg = ThetaConfig(lg_k=lg_k)
+    sk = ThetaSketch.from_u64s(np.array(vals, np.uint64), cfg)
+    for blob in (sk.serialize(), sk.serialize_compressed()):
+        rt = ThetaSketch.deserialize(blob, cfg)
+        assert rt.theta == sk.theta
+        assert np.array_equal(rt.entries, sk.entries)
+        assert rt.estimate() == sk.estimate()
+
+
+@settings(max_examples=20, deadline=None)
+@given(vals=u64s, lg_k=st.integers(min_value=4, max_value=10))
+def test_hll_wire_roundtrip_any_input(vals, lg_k):
+    sk = HllSketch(lg_k)
+    sk.update_u64s(np.array(vals, np.uint64))
+    rt = HllSketch.deserialize_wire(sk.serialize_wire())
+    assert (rt.registers == sk.registers).all()
+    assert rt.estimate() == sk.estimate()  # HIP carried when in-order
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    items=st.lists(st.text(max_size=8), max_size=100),
+    weights=st.lists(st.integers(min_value=1, max_value=50), max_size=100),
+)
+def test_frequencies_wire_roundtrip_any_input(items, weights):
+    sk = FrequentItemsSketch(64)
+    for i, w in zip(items, weights):
+        sk.update(i, w)
+    rt = FrequentItemsSketch.deserialize(sk.serialize("str"), "str")
+    assert rt.counters == sk.counters
+    assert rt.offset == sk.offset and rt.stream_weight == sk.stream_weight
+    assert rt.serialize("str") == sk.serialize("str")
+
+
+@settings(max_examples=20, deadline=None)
+@given(keys=st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=200))
+def test_bloom_countmin_wire_roundtrip_any_input(keys):
+    bf = BloomFilter.with_accuracy(512, 0.01)
+    bf.insert_batch(keys)
+    rt = BloomFilter.deserialize(bf.serialize())
+    assert (rt.words == bf.words).all()
+    if keys:
+        assert rt.contains_batch(keys).all()
+
+    cm = CountMinSketch(3, 64)
+    if keys:
+        cm.update_batch(keys)
+    rt2 = CountMinSketch.deserialize(cm.serialize())
+    assert (rt2.counts == cm.counts).all() and rt2.total_weight == cm.total_weight
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=32), max_size=400
+    )
+)
+def test_tdigest_wire_roundtrip_any_input(vals):
+    td = TDigest(50)
+    if vals:
+        td.update_batch(np.array(vals, np.float64))
+    rt = TDigest.deserialize(td.serialize())
+    assert rt.total_weight() == td.total_weight()
+    if not td.is_empty():
+        assert rt.min == td.min and rt.max == td.max
+        assert rt.quantile(0.5) == td.quantile(0.5)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    a=st.text(alphabet="abc ", max_size=60),
+    b=st.text(alphabet="abc ", max_size=60),
+)
+def test_lcs_fast_equals_oracle_any_input(a, b):
+    """Small alphabet maximizes repeated-substring structure — the
+    adversarial case for the rolling-hash binary search."""
+    assert longest_common_substring_len(a, b) == _lcs_suffix_array(a, b)
