@@ -80,6 +80,15 @@ def _q_theta_intersect_even_odd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_theta_distinct_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float-column distinct count — exercises the canonical_double
+    hash path (`common/mod.rs:31-41`) end-to-end; exact regime at
+    lg_k=17 (distinct prices << k), oracle = COUNT(DISTINCT double)."""
+    li = _read(spark, sf_dir, "lineitem")
+    out = theta_distinct_global(li, "l_extendedprice", ThetaConfig(lg_k=17))
+    return out.select(F.col("distinct_estimate").cast("long").alias("distinct_prices"))
+
+
 def _q_theta_jaccard_even_odd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-estimated Jaccard of the even/odd-order custkey sets —
     exact regime (lg_k=17 >> distinct custkeys at sf<=0.1), so the
@@ -495,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_union_orders": _q_theta_union_orders,
         "theta_intersect_even_odd": _q_theta_intersect_even_odd,
         "theta_jaccard_even_odd": _q_theta_jaccard_even_odd,
+        "theta_distinct_prices": _q_theta_distinct_prices,
         "frequent_brands": _q_frequent_brands,
         "exact_dedup_documents": _q_exact_dedup_documents,
         "token_counts": _q_token_counts,
@@ -550,6 +560,9 @@ def oracle_sql() -> dict[str, str]:
                 INTERSECT
                 SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1
             )
+        """,
+        "theta_distinct_prices": """
+            SELECT COUNT(DISTINCT l_extendedprice) AS distinct_prices FROM lineitem
         """,
         "theta_jaccard_even_odd": """
             WITH e AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0),

@@ -45,6 +45,11 @@ def _sketch_values(vals: pd.Series, cfg: ThetaConfig) -> ThetaSketch:
     arr = vals.dropna().to_numpy()
     if arr.dtype.kind in ("i", "u"):
         return ThetaSketch.from_u64s(arr.astype(np.int64).view(np.uint64), cfg)
+    if arr.dtype.kind == "f":
+        # float update path: canonical_double then u64 hashing
+        # (`theta/sketch.rs:134-152`, `common/mod.rs:31-41`) — NaN/−0.0
+        # canonicalize, so estimates match COUNT DISTINCT semantics
+        return ThetaSketch.from_f64s(arr.astype(np.float64), cfg)
     return ThetaSketch.from_strings([str(v) for v in arr], cfg)
 
 
