@@ -401,6 +401,18 @@ def _q_events_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _q_events_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe EXACT distinct (operators/skew.py): dedup shuffled on
+    the composite (event_type, user_id) key — the plan that survives a
+    hot event_type at 10^12 rows — then a tiny per-key count."""
+    from datasketches_rust_spark.operators.skew import exact_distinct_by_key
+
+    ev = _read(spark, sf_dir, "events")
+    return exact_distinct_by_key(ev, "event_type", "user_id").select(
+        "event_type", F.col("distinct_count").alias("distinct_users")
+    )
+
+
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical aggregate (ROLLUP event_type → day): subtotal rows
     carry nulls, exactly as the SQL oracle produces them."""
@@ -534,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_top_users": _q_events_top_users,
         "events_distinct_users_by_type": _q_events_distinct_users_by_type,
+        "events_distinct_users_exact": _q_events_distinct_users_exact,
         "events_rollup": _q_events_rollup,
         "events_json_props": _q_events_json_props,
         "events_running_total": _q_events_running_total,
@@ -841,6 +854,10 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "events_distinct_users_by_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY event_type
+        """,
+        "events_distinct_users_exact": """
             SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
             FROM events GROUP BY event_type
         """,
