@@ -312,3 +312,35 @@ def test_binomial_bounds_reference_checksums():
         got = (s1, s2, s3, s4, float(count))
         for g, e in zip(got, exp):
             assert g == pytest.approx(e, rel=1e-12), (ci, got, exp)
+
+
+def test_v3_layout_golden_bytes():
+    """Hand-assembled v3 wire bytes for a tiny sketch, byte-for-byte
+    (`theta/sketch.rs:501-534`): exact-mode 2-entry → pre_longs 2,
+    [2,3,3,0,0, flags=RO|COMPACT|ORDERED, seed_hash LE] [n=2 u32]
+    [0 u32] [entries LE u64...]; estimation-mode adds theta."""
+    import struct
+
+    from datasketches_rust_spark.hashes import compute_seed_hash
+
+    cfg = ThetaConfig(lg_k=7)
+    sh = compute_seed_hash(cfg.seed)
+    sk = ThetaSketch(np.array([5, 9], dtype=np.uint64), MAX_THETA, sh, cfg.k)
+    expected = struct.pack("<BBBHBH", 2, 3, 3, 0, (1 << 1) | (1 << 3) | (1 << 4), sh)
+    expected += struct.pack("<I", 2) + b"\x00\x00\x00\x00"
+    expected += struct.pack("<QQ", 5, 9)
+    assert sk.serialize() == expected
+
+    # estimation mode: pre_longs 3 + explicit theta after the counts
+    theta = MAX_THETA // 2
+    sk_est = ThetaSketch(np.array([5, 9], dtype=np.uint64), theta, sh, cfg.k)
+    exp2 = struct.pack("<BBBHBH", 3, 3, 3, 0, (1 << 1) | (1 << 3) | (1 << 4), sh)
+    exp2 += struct.pack("<I", 2) + b"\x00\x00\x00\x00" + struct.pack("<Q", theta)
+    exp2 += struct.pack("<QQ", 5, 9)
+    assert sk_est.serialize() == exp2
+
+    # empty: single preamble long with the EMPTY flag
+    empty = ThetaSketch.empty(cfg).serialize()
+    assert empty == struct.pack(
+        "<BBBHBH", 1, 3, 3, 0, (1 << 1) | (1 << 2) | (1 << 3) | (1 << 4), sh
+    )
