@@ -98,10 +98,24 @@ def theta_distinct_by_key(
 def theta_distinct_global(
     df: DataFrame, item_col: str, cfg: ThetaConfig | None = None
 ) -> DataFrame:
-    """Global distinct count: partial per partition → single final merge."""
+    """Global distinct count: per-partition partials → executor-side
+    TREE merge → the driver unions only ``fanout`` pre-merged blobs
+    (the same de-funneling as countmin/bloom: a single final task
+    receiving partitions × up-to-8·k-byte blobs is the funnel the
+    by-key path avoids naturally via its key distribution)."""
     cfg = cfg or ThetaConfig()
+    spark = df.sparkSession
     with_key = df.select(F.lit(0).alias("_g"), F.col(item_col))
-    return theta_distinct_by_key(with_key, "_g", item_col, cfg).select("distinct_estimate")
+    partials = theta_partial_sketches(with_key, "_g", item_col, cfg).select("sketch")
+
+    def merge_blobs(blobs: list[bytes]) -> bytes:
+        return theta_union(
+            [ThetaSketch.deserialize(bytes(b), cfg) for b in blobs]
+        ).serialize_compressed()
+
+    blob = _tree_merge_blobs(partials, merge_blobs)
+    est = ThetaSketch.deserialize(blob, cfg).estimate()
+    return spark.createDataFrame([(est,)], "distinct_estimate double")
 
 
 def theta_intersect_groups(
@@ -117,26 +131,38 @@ def theta_intersect_groups(
     side's distinct count ≤ k. Returns (intersection_estimate double).
     """
     cfg = cfg or ThetaConfig()
+    sides = _merged_side_sketches(df, item_col, split_col, cfg)
+    est = (
+        theta_intersect(sides[0], sides[1]).estimate() if len(sides) == 2 else 0.0
+    )
+    return df.sparkSession.createDataFrame([(est,)], "intersection_estimate double")
+
+
+def _merged_side_sketches(
+    df: DataFrame, item_col: str, split_col: str, cfg: ThetaConfig, fanout: int = 8
+) -> dict:
+    """{side: merged ThetaSketch} for a boolean split — per-partition
+    partials tree-merged executor-side per (side, shard), so the driver
+    ingests ≤ 2 × fanout blobs instead of 2 × partitions (the same
+    de-funneling as the countmin/bloom/global-theta merges)."""
     keyed = df.select(F.col(split_col).cast("int").alias("_side"), F.col(item_col))
     partials = theta_partial_sketches(keyed, "_side", item_col, cfg)
 
-    def merge_all(pdfs: pd.DataFrame) -> pd.DataFrame:
-        sides = {}
-        for side, grp in pdfs.groupby("_side")["sketch"]:
-            sides[side] = theta_union([ThetaSketch.deserialize(b, cfg) for b in grp])
-        if len(sides) < 2:
-            est = 0.0
-        else:
-            est = theta_intersect(sides[0], sides[1]).estimate()
-        return pd.DataFrame({"intersection_estimate": [est]})
+    def shard_merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = theta_union([ThetaSketch.deserialize(bytes(b), cfg) for b in pdf["sketch"]])
+        return pd.DataFrame({"_side": [key[0]], "sketch": [sk.serialize_compressed()]})
 
-    # final stage: all (≤ 2 × partitions) tiny blobs to one task
-    return (
-        partials.withColumn("_g", F.lit(0))
-        .groupBy("_g")
-        .applyInPandas(lambda _k, p: merge_all(p), "intersection_estimate double")
-        .select("intersection_estimate")
+    shards = (
+        partials.withColumn("_shard", F.spark_partition_id() % fanout)
+        .groupBy("_side", "_shard")
+        .applyInPandas(shard_merge, "_side int, sketch binary")
+        .collect()
     )
+    out: dict = {}
+    for r in shards:
+        sk = ThetaSketch.deserialize(bytes(r.sketch), cfg)
+        out[r._side] = sk if r._side not in out else theta_union([out[r._side], sk])
+    return out
 
 
 def theta_jaccard_groups(
@@ -155,22 +181,9 @@ def theta_jaccard_groups(
     from ..functions.theta import jaccard_estimate
 
     cfg = cfg or ThetaConfig()
-    keyed = df.select(F.col(split_col).cast("int").alias("_side"), F.col(item_col))
-    partials = theta_partial_sketches(keyed, "_side", item_col, cfg)
-
-    def merge_all(pdfs: pd.DataFrame) -> pd.DataFrame:
-        sides = {}
-        for side, grp in pdfs.groupby("_side")["sketch"]:
-            sides[side] = theta_union([ThetaSketch.deserialize(b, cfg) for b in grp])
-        j = jaccard_estimate(sides[0], sides[1]) if len(sides) == 2 else 0.0
-        return pd.DataFrame({"jaccard": [j]})
-
-    return (
-        partials.withColumn("_g", F.lit(0))
-        .groupBy("_g")
-        .applyInPandas(lambda _k, p: merge_all(p), "jaccard double")
-        .select("jaccard")
-    )
+    sides = _merged_side_sketches(df, item_col, split_col, cfg)
+    j = jaccard_estimate(sides[0], sides[1]) if len(sides) == 2 else 0.0
+    return df.sparkSession.createDataFrame([(j,)], "jaccard double")
 
 
 def frequent_items_by_count(
