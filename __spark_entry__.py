@@ -413,6 +413,18 @@ def _q_events_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-type subsample (md5-rank, no rand()) — the
+    reproducible training-data subsampling idiom; oracle-checkable
+    because DuckDB computes the identical md5 ordering."""
+    from datasketches_rust_spark.operators.textstats import stratified_sample_by_key
+
+    ev = _read(spark, sf_dir, "events")
+    return stratified_sample_by_key(ev, "event_type", 20, ["event_id"]).select(
+        "event_type", "event_id", "user_id", "sample_rank"
+    )
+
+
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical aggregate (ROLLUP event_type → day): subtotal rows
     carry nulls, exactly as the SQL oracle produces them."""
@@ -548,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_users_by_type": _q_events_distinct_users_by_type,
         "events_distinct_users_exact": _q_events_distinct_users_exact,
         "events_rollup": _q_events_rollup,
+        "events_stratified_sample": _q_events_stratified_sample,
         "events_json_props": _q_events_json_props,
         "events_running_total": _q_events_running_total,
         "cpc_distinct_users": _q_cpc_distinct_users,
@@ -823,6 +836,16 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM per_user
             ) WHERE rank <= 10
+        """,
+        "events_stratified_sample": """
+            SELECT event_type, event_id, user_id, sample_rank FROM (
+                SELECT event_type, event_id, user_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY md5(CAST(event_id AS VARCHAR))
+                       ) AS sample_rank
+                FROM events
+            ) WHERE sample_rank <= 20
         """,
         "events_rollup": """
             SELECT event_type, CAST(ts AS DATE) AS day,

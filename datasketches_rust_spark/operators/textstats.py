@@ -173,3 +173,26 @@ def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ws.alias("n_ws_tokens"),
         (bpe.cast("double") / F.greatest(ws, F.lit(1)).cast("double")).alias("bpe_per_ws"),
     )
+
+
+def stratified_sample_by_key(
+    df: DataFrame, key_col: str, n_per_key: int, order_cols: list[str]
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_key`` rows with the
+    smallest md5 fingerprint of ``order_cols`` per key — the
+    training-data subsampling idiom (per-source caps, eval-split
+    carving) done WITHOUT rand(): the selection is a pure function of
+    row content, so it is reproducible across runs, partitionings, and
+    engines (md5 ties are broken by the fingerprint's uniqueness over
+    distinct rows). One window shuffle on the key; a hot key's sample
+    is bounded by ``n_per_key`` regardless of its row count.
+    Returns the original columns plus ``sample_rank``.
+    """
+    from pyspark.sql import Window
+
+    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in order_cols]))
+    w = Window.partitionBy(key_col).orderBy(fp)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_key)
+    )
