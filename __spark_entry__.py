@@ -225,6 +225,16 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, "doc_id", "text")
 
 
+def _q_documents_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test carving by md5 threshold — row's
+    split recomputable from its id alone (leakage-audit property)."""
+    from datasketches_rust_spark.operators.textstats import deterministic_split
+
+    docs = _read(spark, sf_dir, "documents")
+    out = deterministic_split(docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_rust_spark.operators.textstats import quality_scores
 
@@ -539,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
         "bpe_token_stats": _q_bpe_token_stats,
+        "documents_split": _q_documents_split,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -725,6 +736,17 @@ def oracle_sql() -> dict[str, str]:
                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)::DOUBLE
                     AS chars_per_token
             FROM documents
+        """,
+        "documents_split": """
+            SELECT split, COUNT(*) AS n_docs FROM (
+                SELECT CASE
+                    WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccccccccccccccccccccccccccccc'
+                        THEN 'train'
+                    WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666666666666666666666666666'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+                FROM documents
+            ) GROUP BY split
         """,
         "bpe_token_stats": """
             SELECT doc_id,

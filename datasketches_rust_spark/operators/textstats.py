@@ -196,3 +196,37 @@ def stratified_sample_by_key(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_key)
     )
+
+
+def deterministic_split(
+    df: DataFrame, id_cols: list[str], fractions: dict[str, float]
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test …) as a pure
+    function of its id — the rand()-free dataset-carving idiom: stable
+    across runs, engines, and partitionings, and any row's split can
+    be recomputed from its id alone (the property leakage audits
+    need). Implementation: the row's md5 hex digest is compared
+    lexicographically against cumulative-fraction thresholds expressed
+    as 32-char hex strings — md5 is uniform over the hex-string space
+    and both Spark and DuckDB produce identical lowercase digests, so
+    the assignment is SQL-oracle-checkable verbatim.
+    Returns the input plus ``split``.
+    """
+    from fractions import Fraction
+
+    fracs = {k: Fraction(str(v)) for k, v in fractions.items()}
+    if sum(fracs.values()) != 1:
+        raise ValueError("fractions must sum to 1")
+    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols]))
+    expr = None
+    cum = Fraction(0)
+    names = list(fracs)
+    for name in names[:-1]:
+        cum += fracs[name]
+        # exact rational → hex threshold (float math would drift the
+        # constant away from the SQL oracle's hand-written threshold)
+        threshold = format((cum.numerator * 16**32) // cum.denominator, "032x")
+        cond = fp < F.lit(threshold)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
