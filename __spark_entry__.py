@@ -225,6 +225,13 @@ def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, "doc_id", "text")
 
 
+def _q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasketches_rust_spark.operators.textstats import contamination_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    return contamination_flags(docs, "doc_id", "text")
+
+
 def _q_documents_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test carving by md5 threshold — row's
     split recomputable from its id alone (leakage-audit property)."""
@@ -550,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "bpe_token_stats": _q_bpe_token_stats,
         "documents_split": _q_documents_split,
+        "contamination_flags": _q_contamination_flags,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -735,6 +743,20 @@ def oracle_sql() -> dict[str, str]:
                 length(text)::DOUBLE
                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)::DOUBLE
                     AS chars_per_token
+            FROM documents
+        """,
+        "contamination_flags": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+                       AS n_emails,
+                   len(regexp_extract_all(text, 'https?://[^\\s]+'))::BIGINT AS n_urls,
+                   len(regexp_extract_all(text, '[0-9]{9,}'))::BIGINT
+                       AS n_long_digit_runs,
+                   (len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+                    OR len(regexp_extract_all(text, 'https?://[^\\s]+')) > 0
+                    OR len(regexp_extract_all(text, '[0-9]{9,}')) > 0) AS flagged
             FROM documents
         """,
         "documents_split": """

@@ -230,3 +230,31 @@ def deterministic_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+def contamination_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII / contamination indicators per document — the pre-training
+    scrub pass: counts of email-, URL-, and long-digit-run-shaped
+    spans (deliberately simple, engine-portable regexes — the contract
+    is determinism + cross-engine parity, not detector recall; swap in
+    a real PII model via mapInPandas where policy requires it).
+    Pure codegen, SQL-expressible. Returns (id, n_emails, n_urls,
+    n_long_digit_runs, flagged boolean).
+    """
+    t = F.col(text_col)
+    n_emails = F.size(
+        F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), F.lit(0))
+    ).cast("long")
+    n_urls = F.size(
+        F.regexp_extract_all(t, F.lit(r"https?://[^\s]+"), F.lit(0))
+    ).cast("long")
+    n_digit_runs = F.size(
+        F.regexp_extract_all(t, F.lit(r"[0-9]{9,}"), F.lit(0))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        n_digit_runs.alias("n_long_digit_runs"),
+        ((n_emails > 0) | (n_urls > 0) | (n_digit_runs > 0)).alias("flagged"),
+    )
