@@ -85,7 +85,8 @@ def _q_theta_distinct_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash path (`common/mod.rs:31-41`) end-to-end; exact regime at
     lg_k=17 (distinct prices << k), oracle = COUNT(DISTINCT double)."""
     li = _read(spark, sf_dir, "lineitem")
-    out = theta_distinct_global(li, "l_extendedprice", ThetaConfig(lg_k=17))
+    # lg_k=16: 59,821 distinct prices at sf0.01 < k=65,536 → exact
+    out = theta_distinct_global(li, "l_extendedprice", ThetaConfig(lg_k=16))
     return out.select(F.col("distinct_estimate").cast("long").alias("distinct_prices"))
 
 
