@@ -188,6 +188,8 @@ class CpcSketch:
 
     @staticmethod
     def deserialize(data: bytes) -> "CpcSketch":
+        if len(data) < struct.calcsize("<BBBQ"):
+            raise ValueError("cpc sketch bytes too short")
         family, _ver, lg_k, seed = struct.unpack_from("<BBBQ", data, 0)
         if family != 16:
             raise ValueError(f"not a CPC sketch (family {family})")

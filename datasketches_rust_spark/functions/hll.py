@@ -433,6 +433,8 @@ class HllSketch:
 
     @staticmethod
     def deserialize(data: bytes) -> "HllSketch":
+        if len(data) < struct.calcsize("<BBBQ"):
+            raise ValueError("hll sketch bytes too short")
         family, _ver, lg_k, seed = struct.unpack_from("<BBBQ", data, 0)
         if family != 7:
             raise ValueError(f"not an HLL sketch (family {family})")

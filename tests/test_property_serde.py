@@ -3,6 +3,8 @@ serialization must be a bijection on canonical sketch states for ANY
 input multiset, not just the fixture cases.
 """
 
+import struct
+
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -103,3 +105,51 @@ def test_lcs_fast_equals_oracle_any_input(a, b):
     """Small alphabet maximizes repeated-substring structure — the
     adversarial case for the rolling-hash binary search."""
     assert longest_common_substring_len(a, b) == _lcs_suffix_array(a, b)
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_deserializers_reject_garbage_cleanly(data):
+    """Checkpoint blobs come from storage; corrupt bytes must raise
+    ValueError — never hang, crash the interpreter, or silently
+    produce a sketch (unless the bytes happen to be a VALID layout,
+    which random bytes essentially never are given the family/version
+    checks)."""
+    import pytest
+
+    from datasketches_rust_spark.functions.cpc import CpcSketch
+    from datasketches_rust_spark.functions.tdigest import TDigest
+
+    for decode in (
+        lambda b: ThetaSketch.deserialize(b, ThetaConfig(lg_k=7)),
+        BloomFilter.deserialize,
+        lambda b: FrequentItemsSketch.deserialize(b, "str"),
+        CountMinSketch.deserialize,
+        HllSketch.deserialize,
+        HllSketch.deserialize_wire,
+        CpcSketch.deserialize,
+        TDigest.deserialize,
+    ):
+        try:
+            decode(data)
+        except (ValueError, UnicodeDecodeError):
+            pass  # the contract: a clean, typed rejection
+
+
+@settings(max_examples=40, deadline=None)
+@given(cut=st.integers(min_value=0, max_value=200), lg_k=st.integers(min_value=5, max_value=8))
+def test_truncated_valid_blobs_rejected(cut, lg_k):
+    """Every PREFIX of a valid blob must be rejected (or, for formats
+    whose payload length is header-driven, never misread)."""
+    import pytest
+
+    cfg = ThetaConfig(lg_k=lg_k)
+    sk = ThetaSketch.from_u64s(np.arange(1000, dtype=np.uint64), cfg)
+    for blob in (sk.serialize(), sk.serialize_compressed()):
+        if cut < len(blob):
+            try:
+                rt = ThetaSketch.deserialize(blob[:cut], cfg)
+                # if it decoded, it must NOT silently equal the original
+                assert not np.array_equal(rt.entries, sk.entries) or cut >= len(blob)
+            except (ValueError, struct.error):
+                pass
