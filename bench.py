@@ -134,16 +134,23 @@ def _scaling_run(cpus: int, path: str, warm_path: str) -> dict[str, float]:
         near_dup_multimodal_clusters_from_path(spark, warm_path, cfg).write.mode(
             "overwrite"
         ).format("noop").save()
-        t0 = time.perf_counter()
-        signatures_direct(spark, path, cfg.minhash, cfg.simhash).write.mode(
-            "overwrite"
-        ).format("noop").save()
-        sig_sec = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        near_dup_multimodal_clusters_from_path(spark, path, cfg).write.mode(
-            "overwrite"
-        ).format("noop").save()
-        pipe_sec = time.perf_counter() - t0
+        # min over N timed passes per stage: the host's page-reclaim
+        # noise (BASELINE.md "Host-noise caveat") can inflate a single
+        # pass ~1.5x and read as a scaling-efficiency failure when it
+        # lands asymmetrically across levels
+        passes = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2"))
+        sig_sec = pipe_sec = float("inf")
+        for _ in range(max(1, passes)):
+            t0 = time.perf_counter()
+            signatures_direct(spark, path, cfg.minhash, cfg.simhash).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            sig_sec = min(sig_sec, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            near_dup_multimodal_clusters_from_path(spark, path, cfg).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            pipe_sec = min(pipe_sec, time.perf_counter() - t0)
     finally:
         spark.stop()
     return {"signature_sec": sig_sec, "pipeline_sec": pipe_sec}
