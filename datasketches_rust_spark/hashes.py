@@ -249,15 +249,36 @@ def _murmur_finalize(h1, h2, total_len):
     return h1, h2
 
 
+_MURMUR_CHUNK = 1 << 17  # rows per kernel pass
+
+
 def murmur3_x64_128_arr(
     buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, seed: int = DEFAULT_UPDATE_SEED
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized murmur3 x64-128 over n variable-length byte strings.
+    """Vectorized murmur3 x64-128 over n variable-length byte strings,
+    processed in bounded chunks (the gather scratch is rows × 8 × 8 B
+    per block pass; chunking keeps the working set ~20 MB so buffers
+    stay warm — see BASELINE.md on this host's first-touch costs)."""
+    n = len(starts)
+    if n <= _MURMUR_CHUNK:
+        return _murmur3_x64_128_arr_impl(buf, starts, lengths, seed)
+    h1 = np.empty(n, dtype=np.uint64)
+    h2 = np.empty(n, dtype=np.uint64)
+    for s in range(0, n, _MURMUR_CHUNK):
+        e = min(s + _MURMUR_CHUNK, n)
+        h1[s:e], h2[s:e] = _murmur3_x64_128_arr_impl(
+            buf, starts[s:e], lengths[s:e], seed
+        )
+    return h1, h2
 
-    Block loop is masked per 16-byte block index so rows of different
-    lengths batch together; the tail (≤15 bytes) is gathered with a
-    masked byte loop. Matches `murmurhash.rs:47-116` + `finish128`.
-    """
+
+def _murmur3_x64_128_arr_impl(
+    buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, seed: int = DEFAULT_UPDATE_SEED
+) -> tuple[np.ndarray, np.ndarray]:
+    """Single-pass kernel: block loop masked per 16-byte block index so
+    rows of different lengths batch together; the tail (≤15 bytes) is
+    gathered with a masked byte loop. Matches `murmurhash.rs:47-116` +
+    `finish128`."""
     n = len(starts)
     h1 = np.full(n, seed, dtype=np.uint64)
     h2 = h1.copy()
