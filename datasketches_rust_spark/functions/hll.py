@@ -320,16 +320,44 @@ class HllSketch:
     _MODE_LIST, _MODE_SET, _MODE_HLL = 0, 1, 2
     _TGT_HLL8 = 2
 
-    def serialize_wire(self) -> bytes:
-        regs = self.registers.astype(np.float64)
-        kxq0 = float(np.power(2.0, -regs[self.registers < 32]).sum())
-        kxq1 = float(np.power(2.0, -regs[self.registers >= 32]).sum())
+    def serialize_wire(self, target: str = "hll8") -> bytes:
+        """``target``: 'hll8' (raw register bytes), 'hll6' (6-bit LE
+        packing, `array6.rs:104-130`), or 'hll4' (cur_min-offset
+        nibbles + aux coupon list for overflows, `array4.rs:118-180` —
+        datasketches-java's default, the smallest wire form)."""
+        regs = self.registers
+        regsf = regs.astype(np.float64)
+        kxq0 = float(np.power(2.0, -regsf[regs < 32]).sum())
+        kxq1 = float(np.power(2.0, -regsf[regs >= 32]).sum())
         flags = self._WIRE_OOO if self.out_of_order else 0
-        mode_byte = self._MODE_HLL | (self._TGT_HLL8 << 2)
-        out = struct.pack("<BBBBBBBB", 10, 1, 7, self.lg_k, 0, flags, 0, mode_byte)
-        out += struct.pack("<dddII", self.hip_accum, kxq0, kxq1,
-                           int((self.registers == 0).sum()), 0)
-        return out + self.registers.tobytes()
+        tgt = {"hll4": 0, "hll6": 1, "hll8": 2}[target]
+        cur_min = 0
+        aux = np.zeros(0, dtype="<u4")
+        if target == "hll8":
+            payload = regs.tobytes()
+        elif target == "hll6":
+            bits = ((regs[:, None] >> np.arange(6, dtype=np.uint8)) & 1).astype(np.uint8)
+            stream = np.packbits(bits.reshape(-1), bitorder="little")
+            num_bytes = ((self.k * 3) >> 2) + 1
+            payload = stream.tobytes().ljust(num_bytes, b"\x00")[:num_bytes]
+        else:  # hll4
+            cur_min = int(regs.min())
+            delta = regs.astype(np.int64) - cur_min
+            over = np.flatnonzero(delta >= 15)
+            nibbles = np.minimum(delta, 15).astype(np.uint8)
+            payload = (nibbles[0::2] | (nibbles[1::2] << 4)).astype(np.uint8).tobytes()
+            aux = (
+                (regs[over].astype("<u4") << np.uint32(26)) | over.astype("<u4")
+            ).astype("<u4")
+        num_at_min = int((regs == cur_min).sum()) if target == "hll4" else int(
+            (regs == 0).sum()
+        )
+        mode_byte = self._MODE_HLL | (tgt << 2)
+        out = struct.pack(
+            "<BBBBBBBB", 10, 1, 7, self.lg_k, 0, flags, cur_min, mode_byte
+        )
+        out += struct.pack("<dddII", self.hip_accum, kxq0, kxq1, num_at_min, len(aux))
+        return out + payload + aux.tobytes()
 
     @staticmethod
     def deserialize_wire(data: bytes, seed: int = DEFAULT_UPDATE_SEED) -> "HllSketch":

@@ -619,3 +619,21 @@ def test_hll_wire_hll6_and_hll4_decode():
     blob4 = head4 + packed.tobytes() + aux.tobytes()
     sk4 = HllSketch.deserialize_wire(blob4)
     assert (sk4.registers == regs4).all()
+
+
+def test_hll_wire_encode_all_targets_roundtrip():
+    """serialize_wire supports all three DS target types; each decodes
+    back to identical registers (HLL4 via cur_min offset + aux list)."""
+    rng = np.random.default_rng(11)
+    s = HllSketch(9)
+    s.update_u64s(rng.integers(0, 10**9, size=20000, dtype=np.uint64))
+    s.out_of_order = True
+    for target in ("hll8", "hll6", "hll4"):
+        blob = s.serialize_wire(target)
+        rt = HllSketch.deserialize_wire(blob)
+        assert (rt.registers == s.registers).all(), target
+        assert rt.composite_estimate() == s.composite_estimate(), target
+    # hll4 is the smallest form, hll8 the largest
+    assert len(s.serialize_wire("hll4")) < len(s.serialize_wire("hll6")) < len(
+        s.serialize_wire("hll8")
+    )
