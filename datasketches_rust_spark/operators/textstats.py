@@ -183,8 +183,10 @@ def stratified_sample_by_key(
     training-data subsampling idiom (per-source caps, eval-split
     carving) done WITHOUT rand(): the selection is a pure function of
     row content, so it is reproducible across runs, partitionings, and
-    engines (md5 ties are broken by the fingerprint's uniqueness over
-    distinct rows). One window shuffle on the key; a hot key's sample
+    engines. ``order_cols`` must identify rows uniquely (an id column):
+    duplicate fingerprints would leave row_number ties to partition
+    order, breaking the determinism contract.
+    One window shuffle on the key; a hot key's sample
     is bounded by ``n_per_key`` regardless of its row count.
     Returns the original columns plus ``sample_rank``.
     """
