@@ -22,7 +22,7 @@ from math import ceil, log
 
 import numpy as np
 
-from ..hashes import pack_bytes, xxhash64_arr, xxhash64_u64s
+from ..hashes import pack_bytes, xxhash64_arr
 
 _U64 = np.uint64
 

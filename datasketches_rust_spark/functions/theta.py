@@ -58,8 +58,6 @@ import numpy as np
 
 from ..config import MAX_THETA, ThetaConfig
 from ..hashes import (
-    DEFAULT_UPDATE_SEED,
-    compute_seed_hash,
     pack_bytes,
     theta_hash_bytes,
     theta_hash_f64s,
