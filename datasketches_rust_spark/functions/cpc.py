@@ -191,6 +191,10 @@ class CpcSketch:
         if len(data) < struct.calcsize("<BBBQ"):
             raise ValueError("cpc sketch bytes too short")
         family, _ver, lg_k, seed = struct.unpack_from("<BBBQ", data, 0)
+        if not 4 <= lg_k <= 26:
+            raise ValueError(f"lg_k must be in [4, 26], got {lg_k}")
+        if len(data) < struct.calcsize("<BBBQ") + (1 << lg_k) * 8:
+            raise ValueError("truncated CPC bit matrix")
         if family != 16:
             raise ValueError(f"not a CPC sketch (family {family})")
         off = struct.calcsize("<BBBQ")

@@ -466,7 +466,11 @@ class HllSketch:
         family, _ver, lg_k, seed = struct.unpack_from("<BBBQ", data, 0)
         if family != 7:
             raise ValueError(f"not an HLL sketch (family {family})")
+        if not 4 <= lg_k <= 21:
+            raise ValueError(f"lg_k must be in [4, 21], got {lg_k}")
         off = struct.calcsize("<BBBQ")
+        if len(data) < off + (1 << lg_k):
+            raise ValueError("truncated HLL register array")
         regs = np.frombuffer(data, np.uint8, count=1 << lg_k, offset=off).copy()
         # deserialized sketches are out-of-order (`estimator.rs:286-297`)
         return HllSketch(lg_k, seed, regs, out_of_order=True)
