@@ -206,6 +206,8 @@ class BloomFilter:
             raise ValueError(f"invalid num_longs {num_longs}")
         if flags & BloomFilter._EMPTY_FLAG:
             return BloomFilter(num_longs * 64, nh, seed)
+        if len(data) < 32:
+            raise ValueError("truncated bloom preamble")
         (raw_bits_set,) = struct.unpack_from("<Q", data, 24)
         if len(data) < 32 + num_longs * 8:
             raise ValueError("truncated bloom bit array")

@@ -197,6 +197,8 @@ class FrequentItemsSketch:
             return FrequentItemsSketch(1 << lg_max)
         if pre_longs != 4:
             raise ValueError(f"invalid preamble longs {pre_longs}")
+        if len(data) < 32:
+            raise ValueError("truncated frequencies preamble")
         n, _u2, stream_weight, offset = struct.unpack_from("<IIQQ", data, 8)
         off = 32
         if len(data) < off + n * 8:

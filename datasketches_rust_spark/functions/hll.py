@@ -402,6 +402,8 @@ class HllSketch:
         elif cur_mode == HllSketch._MODE_HLL:
             if preints != 10:
                 raise ValueError(f"HLL preamble ints {preints} != 10")
+            if len(data) < 40:
+                raise ValueError("truncated HLL wire preamble")
             hip, kxq0, kxq1, _nmin, aux_count = struct.unpack_from("<dddII", data, 8)
             k = sk.k
             if tgt == HllSketch._TGT_HLL8:

@@ -299,21 +299,29 @@ class TDigest:
         off = 8
         if flags & TDigest._F_SINGLE:
             fmt, sz = ("<f", 4) if is_f32 else ("<d", 8)
+            if len(data) < off + sz:
+                raise ValueError("truncated tdigest single value")
             (v,) = struct.unpack_from(fmt, data, off)
             td.means = np.array([v], np.float64)
             td.weights = np.array([1.0], np.float64)
             td.min = td.max = float(v)
             td.centroids_weight = 1.0
             return td
+        if len(data) < off + 8:
+            raise ValueError("truncated tdigest preamble")
         n, _nbuf = struct.unpack_from("<II", data, off)
         off += 8
         if is_f32:
+            if len(data) < off + 8:
+                raise ValueError("truncated tdigest min/max")
             mn, mx = struct.unpack_from("<ff", data, off)
             off += 8
             cent = np.frombuffer(data, "<f4", count=2 * n, offset=off).reshape(n, 2)
             means = cent[:, 0].astype(np.float64)
             weights = cent[:, 1].view("<u4").astype(np.float64)
         else:
+            if len(data) < off + 16:
+                raise ValueError("truncated tdigest min/max")
             mn, mx = struct.unpack_from("<dd", data, off)
             off += 16
             if len(data) < off + 16 * n:

@@ -136,6 +136,46 @@ def test_deserializers_reject_garbage_cleanly(data):
             pass  # the contract: a clean, typed rejection
 
 
+_FAMILY_HEADERS = [
+    bytes([3, 3, 3, 0, 0]), bytes([2, 4, 3]), bytes([2, 2, 3, 0]),
+    bytes([3, 2, 3, 0]), bytes([3, 1, 3]), bytes([4, 1, 21, 0]),
+    bytes([4, 1, 10, 6, 3, 0]), bytes([2, 1, 18, 0]),
+    bytes([10, 1, 7, 12, 0, 0, 0, 10]), bytes([1, 1, 20, 100, 0, 2, 0, 0]),
+    bytes([2, 1, 20, 100, 0]), bytes([16, 1, 11]), bytes([7, 1, 12]),
+]
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.binary(max_size=200))
+def test_valid_headers_with_garbage_payloads_rejected(payload):
+    """Valid family headers followed by arbitrary payloads — the shape
+    a torn checkpoint write produces; must reject cleanly, never
+    struct.error/OverflowError (this strategy found four real holes:
+    unbounded lg_k allocations and three truncation reads)."""
+    import pytest
+
+    from datasketches_rust_spark.functions.cpc import CpcSketch
+    from datasketches_rust_spark.functions.tdigest import TDigest
+
+    decoders = (
+        lambda b: ThetaSketch.deserialize(b, ThetaConfig(lg_k=7)),
+        BloomFilter.deserialize,
+        lambda b: FrequentItemsSketch.deserialize(b, "str"),
+        CountMinSketch.deserialize,
+        HllSketch.deserialize,
+        HllSketch.deserialize_wire,
+        CpcSketch.deserialize,
+        TDigest.deserialize,
+        lambda b: TDigest.deserialize(b, is_f32=True),
+    )
+    for h in _FAMILY_HEADERS:
+        for decode in decoders:
+            try:
+                decode(h + payload)
+            except (ValueError, UnicodeDecodeError):
+                pass
+
+
 @settings(max_examples=40, deadline=None)
 @given(cut=st.integers(min_value=0, max_value=200), lg_k=st.integers(min_value=5, max_value=8))
 def test_truncated_valid_blobs_rejected(cut, lg_k):
