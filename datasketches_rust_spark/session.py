@@ -67,4 +67,17 @@ def make_local_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory)
     )
+    # Route shuffle/spill files to tmpfs when available: this host's
+    # disk writeback degrades in phases (measured <8 MB/s for a
+    # fsync'd 1 GB write while reads ran at 1.7 GB/s), which inflated
+    # shuffle-heavy stages up to 2× while CPU-bound stages were
+    # unaffected. Shuffle data at sandbox scale is MBs–GBs vs 126 GB
+    # of tmpfs; on a real cluster local dirs are NVMe-backed and this
+    # env-dependent default simply doesn't fire.
+    import os
+
+    if os.path.isdir("/dev/shm"):
+        shm_dir = "/dev/shm/spark-local"
+        os.makedirs(shm_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm_dir)
     return apply_engine_conf(builder).getOrCreate()
