@@ -188,8 +188,21 @@ def main() -> None:
         # scaling. 2→8 stays inside the real-core envelope.
         levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
         lo, hi = int(levels[0]), int(levels[1])
-        r_lo = _scaling_run(lo, path, warm_path)
-        r_hi = _scaling_run(hi, path, warm_path)
+        # INTERLEAVE the level runs (hi, lo, hi, lo): the efficiency is
+        # a RATIO, and this host's throttling phases (BASELINE.md) last
+        # minutes — running all lo passes then all hi passes lets one
+        # phase hit a single level and skew the ratio 2-5x; interleaving
+        # puts both levels inside the same phase windows. Min per level
+        # across rounds, as before.
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+        r_lo = {"signature_sec": float("inf"), "pipeline_sec": float("inf")}
+        r_hi = {"signature_sec": float("inf"), "pipeline_sec": float("inf")}
+        os.environ.setdefault("SPARK_GRAFT_SCALE_PASSES", "1")
+        for _ in range(max(1, rounds)):
+            for level, acc in ((hi, r_hi), (lo, r_lo)):
+                r = _scaling_run(level, path, warm_path)
+                acc["signature_sec"] = min(acc["signature_sec"], r["signature_sec"])
+                acc["pipeline_sec"] = min(acc["pipeline_sec"], r["pipeline_sec"])
         sig_speedup = r_lo["signature_sec"] / r_hi["signature_sec"]
         pipe_speedup = r_lo["pipeline_sec"] / r_hi["pipeline_sec"]
         result["signature_throughput"] = {
