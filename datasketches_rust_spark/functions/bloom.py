@@ -97,25 +97,37 @@ class BloomFilter:
 
     def contains_and_insert_batch(self, items: list) -> np.ndarray:
         """One-pass membership-check-then-insert — the dedup idiom of
-        `bloom/sketch.rs:499-543` (query_and_update): returns the
-        PRE-insert presence per row and inserts every item. Duplicate
-        items later in the same batch report present, matching the
-        reference's sequential update order."""
-        bts = [self._to_bytes(i) for i in items]
-        pos = self._bit_positions(items)
+        `bloom/sketch.rs:499-543` (query_and_update): row i reports the
+        presence it would see if the batch were processed one item at a
+        time (query i after inserting items 0..i-1), and every item is
+        inserted. Bit-identical to the reference's sequential order —
+        including the case where a distinct item's bits were all set by
+        OTHER items earlier in the same batch.
+
+        Vectorized via first-setter ranks: for each bit position
+        touched by the batch, the earliest row that sets it; row i's
+        bit b is visible iff it was set pre-batch OR first_setter[b] < i.
+        """
+        pos = self._bit_positions(items)  # (n, num_hashes)
+        n = pos.shape[0]
+        if n == 0:
+            return np.zeros(0, dtype=bool)
         words, bits = np.divmod(pos, _U64(64))
-        hit = ((self.words[words.astype(np.int64)] >> bits) & _U64(1)).all(axis=1)
-        seen: dict = {}
-        dup = np.zeros(len(bts), dtype=bool)
-        for i, b in enumerate(bts):
-            if b in seen:
-                dup[i] = True
-            else:
-                seen[b] = i
+        widx = words.astype(np.int64)
+        pre_hit = ((self.words[widx] >> bits) & _U64(1)).astype(bool)
+        # earliest batch row setting each distinct position (positions
+        # only from this batch — never O(num_bits) state)
+        flat_pos = pos.reshape(-1)
+        flat_row = np.repeat(np.arange(n, dtype=np.int64), self.num_hashes)
+        uniq, inv = np.unique(flat_pos, return_inverse=True)
+        first_setter = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_setter, inv, flat_row)
+        seen_in_batch = (first_setter[inv] < flat_row).reshape(n, self.num_hashes)
+        hit = (pre_hit | seen_in_batch).all(axis=1)
         np.bitwise_or.at(
-            self.words, words.reshape(-1).astype(np.int64), _U64(1) << bits.reshape(-1)
+            self.words, widx.reshape(-1), _U64(1) << bits.reshape(-1)
         )
-        return hit | dup
+        return hit
 
     def contains_and_insert(self, item) -> bool:
         return bool(self.contains_and_insert_batch([item])[0])

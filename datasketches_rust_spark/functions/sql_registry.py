@@ -27,7 +27,6 @@ partials via the Arrow aggregation path).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
@@ -35,7 +34,7 @@ from pyspark.sql.functions import pandas_udf
 from ..config import ThetaConfig
 from .cpc import CpcSketch
 from .hll import HllSketch
-from .theta import ThetaSketch, theta_union
+from .theta import ThetaSketch, hash_series, theta_union
 
 
 def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) -> None:
@@ -44,13 +43,16 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
 
     @pandas_udf("binary")
     def theta_sketch_agg(vals: pd.Series) -> bytes:
-        arr = vals.dropna().to_numpy()
-        if len(arr) and arr.dtype.kind not in ("i", "u"):
-            sk = ThetaSketch.from_strings([str(v) for v in arr], cfg)
-        elif len(arr):
-            sk = ThetaSketch.from_u64s(arr.astype(np.int64).view(np.uint64), cfg)
-        else:
-            sk = ThetaSketch.empty(cfg)
+        # hash_series is the same typed dispatch the DataFrame
+        # operators use — float columns go through canonical_double →
+        # u64 (`theta/sketch.rs:134-152`), NOT str(v), so sketches from
+        # the SQL and DataFrame surfaces union correctly
+        hashes = hash_series(vals, cfg)
+        sk = (
+            ThetaSketch.from_hashes(hashes, cfg)
+            if len(hashes)
+            else ThetaSketch.empty(cfg)
+        )
         return sk.serialize_compressed()
 
     @pandas_udf("binary")
@@ -60,35 +62,35 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
             return ThetaSketch.empty(cfg).serialize_compressed()
         return theta_union(sketches).serialize_compressed()
 
-    @pandas_udf("double")
-    def theta_estimate(blobs: pd.Series) -> pd.Series:
-        return pd.Series(
-            [ThetaSketch.deserialize(bytes(b), cfg).estimate() for b in blobs]
-        )
+    def _scalar(fn):
+        """NULL-safe per-blob scalar: a NULL sketch column (e.g. from
+        an outer join) yields SQL NULL instead of a task-killing
+        TypeError — matching built-in aggregate-function semantics."""
 
-    @pandas_udf("double")
-    def theta_lb(blobs: pd.Series) -> pd.Series:
-        return pd.Series(
-            [ThetaSketch.deserialize(bytes(b), cfg).lower_bound(2) for b in blobs]
-        )
+        def apply(blobs: pd.Series) -> pd.Series:
+            return pd.Series(
+                [None if b is None else fn(bytes(b)) for b in blobs],
+                dtype="float64",
+                index=blobs.index,
+            )
 
-    @pandas_udf("double")
-    def theta_ub(blobs: pd.Series) -> pd.Series:
-        return pd.Series(
-            [ThetaSketch.deserialize(bytes(b), cfg).upper_bound(2) for b in blobs]
-        )
+        return apply
 
-    @pandas_udf("double")
-    def hll_estimate(blobs: pd.Series) -> pd.Series:
-        return pd.Series(
-            [HllSketch.deserialize(bytes(b)).estimate() for b in blobs]
-        )
-
-    @pandas_udf("double")
-    def cpc_estimate(blobs: pd.Series) -> pd.Series:
-        return pd.Series(
-            [CpcSketch.deserialize(bytes(b)).estimate() for b in blobs]
-        )
+    theta_estimate = pandas_udf("double")(
+        _scalar(lambda b: ThetaSketch.deserialize(b, cfg).estimate())
+    )
+    theta_lb = pandas_udf("double")(
+        _scalar(lambda b: ThetaSketch.deserialize(b, cfg).lower_bound(2))
+    )
+    theta_ub = pandas_udf("double")(
+        _scalar(lambda b: ThetaSketch.deserialize(b, cfg).upper_bound(2))
+    )
+    hll_estimate = pandas_udf("double")(
+        _scalar(lambda b: HllSketch.deserialize(b).estimate())
+    )
+    cpc_estimate = pandas_udf("double")(
+        _scalar(lambda b: CpcSketch.deserialize(b).estimate())
+    )
 
     spark.udf.register("theta_sketch_agg", theta_sketch_agg)
     spark.udf.register("theta_union_agg", theta_union_agg)

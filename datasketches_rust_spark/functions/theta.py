@@ -341,7 +341,35 @@ class ThetaSketch:
         entries = np.cumsum(deltas, dtype=np.uint64)
         if len(entries) and ((entries == 0).any() or (entries >= theta).any()):
             raise ValueError("theta entry out of range (0, theta)")
+        # a zero delta (corrupt blob) yields duplicate entries that pass
+        # the range check but violate the sorted-distinct invariant
+        # union/intersect/estimate rely on — mirror the v3 check
+        if len(entries) > 1 and (np.diff(entries.view(np.uint64)) <= 0).any():
+            raise ValueError("theta entries not strictly increasing")
         return ThetaSketch(entries, int(theta), seed_hash, cfg.k)
+
+
+def hash_series(vals, cfg: ThetaConfig) -> np.ndarray:
+    """Theta-convention hashes for a pandas Series / array batch with
+    the reference's typed update dispatch: integers as 8 LE bytes
+    (`theta/sketch.rs:118-132` update_u64), floats via canonical_double
+    then the u64 path (`theta/sketch.rs:134-152`, `common/mod.rs:31-41`),
+    everything else as utf-8 strings. The single source of truth for
+    BOTH the DataFrame operators (operators/sketch_aggs.py) and the SQL
+    surface (functions/sql_registry.py), so sketches built over the
+    same data by either surface — or by another DataSketches
+    implementation — hash identically and union correctly."""
+    import pandas as pd
+
+    if isinstance(vals, pd.Series):
+        vals = vals.dropna()
+    arr = np.asarray(vals)
+    if arr.dtype.kind in ("i", "u"):
+        return theta_hash_u64s(arr.astype(np.int64).view(np.uint64), cfg.seed)
+    if arr.dtype.kind == "f":
+        return theta_hash_f64s(arr.astype(np.float64), cfg.seed)
+    buf, starts, lengths = pack_bytes([str(v).encode("utf-8") for v in arr])
+    return theta_hash_bytes(buf, starts, lengths, cfg.seed)
 
 
 def _canonicalize(hashes: np.ndarray, theta: int, k: int, seed_hash: int) -> ThetaSketch:

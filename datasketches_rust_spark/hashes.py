@@ -360,7 +360,12 @@ def canonical_double(vals: np.ndarray) -> np.ndarray:
     identically across Java/C++/Rust/this engine. Returns the uint64
     bit patterns ready for the u64 update path
     (`theta/sketch.rs:134-152`)."""
-    v = np.asarray(vals, np.float64) + 0.0  # −0.0 + 0.0 → +0.0
+    # signaling-NaN inputs make the +0.0 identity raise numpy's
+    # "invalid value" FP warning — semantically fine (every NaN is
+    # collapsed right after), and at 10^12 rows warning emission in a
+    # hot kernel is measurable overhead, so silence it here
+    with np.errstate(invalid="ignore"):
+        v = np.asarray(vals, np.float64) + 0.0  # −0.0 + 0.0 → +0.0
     bits = v.view(np.uint64).copy()
     bits[np.isnan(v)] = np.uint64(0x7FF8000000000000)
     return bits

@@ -42,18 +42,13 @@ from ..functions.theta import ThetaSketch, theta_intersect, theta_union
 
 
 def _hash_values(vals: pd.Series, cfg: ThetaConfig) -> np.ndarray:
-    """Theta-convention hashes for a value batch (typed dispatch:
-    ints as 8 LE bytes, floats via canonical_double
-    (`common/mod.rs:31-41`), else utf-8 strings)."""
-    from ..hashes import pack_bytes, theta_hash_bytes, theta_hash_f64s, theta_hash_u64s
+    """Theta-convention hashes for a value batch — shared typed
+    dispatch (ints / canonical_double floats / utf-8 strings) lives in
+    functions/theta.py::hash_series so the SQL surface and this
+    DataFrame surface produce identical hashes."""
+    from ..functions.theta import hash_series
 
-    arr = vals.dropna().to_numpy()
-    if arr.dtype.kind in ("i", "u"):
-        return theta_hash_u64s(arr.astype(np.int64).view(np.uint64), cfg.seed)
-    if arr.dtype.kind == "f":
-        return theta_hash_f64s(arr.astype(np.float64), cfg.seed)
-    buf, starts, lengths = pack_bytes([str(v).encode("utf-8") for v in arr])
-    return theta_hash_bytes(buf, starts, lengths, cfg.seed)
+    return hash_series(vals, cfg)
 
 
 def _sketch_values(vals: pd.Series, cfg: ThetaConfig) -> ThetaSketch:
@@ -152,6 +147,11 @@ def theta_distinct_global(
     partials = theta_partial_sketches(with_key, "_g", item_col, cfg).select("sketch")
 
     def merge_blobs(blobs: list[bytes]) -> bytes:
+        if not blobs:
+            # empty/all-null input: zero partial rows reach the merge —
+            # return the empty sketch (estimate 0.0) instead of letting
+            # theta_union raise at the driver
+            return ThetaSketch.empty(cfg).serialize_compressed()
         return theta_union(
             [ThetaSketch.deserialize(bytes(b), cfg) for b in blobs]
         ).serialize_compressed()
@@ -187,20 +187,31 @@ def _merged_side_sketches(
     """{side: merged ThetaSketch} for a boolean split — per-partition
     partials tree-merged executor-side per (side, shard), so the driver
     ingests ≤ 2 × fanout blobs instead of 2 × partitions (the same
-    de-funneling as the countmin/bloom/global-theta merges)."""
+    de-funneling as the countmin/bloom/global-theta merges). Like
+    ``_tree_merge_blobs``, the shard level is size-gated: with few
+    partials it is a pure extra shuffle, so the driver collects the
+    per-partition blobs directly."""
     keyed = df.select(F.col(split_col).cast("int").alias("_side"), F.col(item_col))
     partials = theta_partial_sketches(keyed, "_side", item_col, cfg)
 
-    def shard_merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = theta_union([ThetaSketch.deserialize(bytes(b), cfg) for b in pdf["sketch"]])
-        return pd.DataFrame({"_side": [key[0]], "sketch": [sk.serialize_compressed()]})
+    if partials.rdd.getNumPartitions() <= 4 * fanout:
+        shards = partials.collect()
+    else:
 
-    shards = (
-        partials.withColumn("_shard", F.spark_partition_id() % fanout)
-        .groupBy("_side", "_shard")
-        .applyInPandas(shard_merge, "_side int, sketch binary")
-        .collect()
-    )
+        def shard_merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            sk = theta_union(
+                [ThetaSketch.deserialize(bytes(b), cfg) for b in pdf["sketch"]]
+            )
+            return pd.DataFrame(
+                {"_side": [key[0]], "sketch": [sk.serialize_compressed()]}
+            )
+
+        shards = (
+            partials.withColumn("_shard", F.spark_partition_id() % fanout)
+            .groupBy("_side", "_shard")
+            .applyInPandas(shard_merge, "_side int, sketch binary")
+            .collect()
+        )
     out: dict = {}
     for r in shards:
         sk = ThetaSketch.deserialize(bytes(r.sketch), cfg)
@@ -390,11 +401,23 @@ def _merge_countmin(blobs: list[bytes]):
 
 
 def _tree_merge_blobs(partials: DataFrame, merge_fn, fanout: int = 8) -> bytes:
-    """Two-level sketch-blob merge: group the per-partition blobs into
-    ``fanout`` shards merged executor-side, then merge the ``fanout``
-    shard blobs at the driver. Caps driver ingress at fanout × blob
-    size instead of num_partitions × blob size — the difference between
-    ~3 MB and ~400 MB at 1000 executors for a 393 KB Count-Min."""
+    """Sketch-blob merge, size-gated on the partial count:
+
+    * few partials (≤ 4 × fanout partitions) — collect the blobs
+      directly and merge at the driver: the shard stage would be a pure
+      extra shuffle + job at this scale (measured: theta_union_orders
+      1.23 s → 2.08 s in round 2 before this gate);
+    * many partials — two-level tree: group blobs into ``fanout``
+      shards merged executor-side, then merge the ``fanout`` shard
+      blobs at the driver. Caps driver ingress at fanout × blob size
+      instead of num_partitions × blob size — the difference between
+      ~3 MB and ~400 MB at 1000 executors for a 393 KB Count-Min.
+
+    The gate reads the plan's partition count (no job); the partial
+    stage emits ≤ 1 blob per partition, so it bounds driver ingress."""
+    nparts = partials.rdd.getNumPartitions()
+    if nparts <= 4 * fanout:
+        return merge_fn([bytes(r.sketch) for r in partials.collect()])
 
     def shard_merge(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"sketch": [merge_fn(list(pdf["sketch"]))]})

@@ -169,3 +169,88 @@ def test_sql_registry_theta(spark):
         "SELECT theta_estimate(theta_union_agg(sk)) AS n FROM t_rollup"
     ).first()
     assert total == 5000.0
+
+
+def test_sql_dataframe_float_hash_parity(spark):
+    """ADVICE r2 (medium): the SQL surface must hash float columns via
+    canonical_double → u64 exactly like the DataFrame surface, so
+    sketches built by either over the same data are byte-identical and
+    union correctly (not silently double-count)."""
+    import numpy as np
+
+    from datasketches_rust_spark.config import ThetaConfig
+    from datasketches_rust_spark.functions.sql_registry import register_sql_functions
+    from datasketches_rust_spark.functions.theta import ThetaSketch, theta_union
+
+    cfg = ThetaConfig(lg_k=14)
+    register_sql_functions(spark, cfg)
+    # NaN rides the Arrow float path as pandas NA → dropped like NULL
+    # on BOTH surfaces (engine semantics); -0.0 canonicalizes to +0.0
+    vals = [float(x) / 7.0 for x in range(2000)] + [float("nan"), -0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    df.createOrReplaceTempView("t_float_parity")
+    (blob,) = spark.sql(
+        "SELECT theta_sketch_agg(v) AS sk FROM t_float_parity"
+    ).first()
+    sql_sk = ThetaSketch.deserialize(bytes(blob), cfg)
+    kept = np.array([v for v in vals if v == v], np.float64)
+    ref_sk = ThetaSketch.from_f64s(kept, cfg)
+    assert np.array_equal(sql_sk.entries, ref_sk.entries)
+    # union of the two surfaces' sketches must NOT double-count
+    assert theta_union([sql_sk, ref_sk]).estimate() == ref_sk.estimate()
+    # 2000 distinct values; -0.0 collapsed into +0.0 (x=0 item)
+    assert ref_sk.estimate() == 2000.0
+
+
+def test_sql_scalar_udfs_null_safe(spark):
+    """NULL sketch blobs (outer joins) yield SQL NULL, not a task-
+    killing TypeError (ADVICE r2)."""
+    from datasketches_rust_spark.functions.sql_registry import register_sql_functions
+
+    register_sql_functions(spark)
+    rows = spark.sql(
+        """WITH t AS (SELECT theta_sketch_agg(id) AS sk FROM range(100))
+           SELECT theta_estimate(sk) e, theta_lb(sk) lb, theta_ub(sk) ub
+           FROM (SELECT sk FROM t UNION ALL SELECT CAST(NULL AS BINARY))"""
+    ).collect()
+    assert len(rows) == 2
+    by_null = {r.e is None: r for r in rows}
+    assert by_null[False].e == 100.0
+    assert by_null[True].lb is None and by_null[True].ub is None
+
+
+def test_theta_distinct_global_empty_input(spark):
+    """Zero-row / all-null input returns estimate 0.0 instead of
+    raising 'theta_union of nothing' at the driver (ADVICE r2)."""
+    from datasketches_rust_spark.operators.sketch_aggs import theta_distinct_global
+
+    empty = spark.createDataFrame([], "v long")
+    assert theta_distinct_global(empty, "v").first().distinct_estimate == 0.0
+    allnull = spark.createDataFrame([(None,), (None,)], "v long")
+    assert theta_distinct_global(allnull, "v").first().distinct_estimate == 0.0
+
+
+def test_tree_merge_size_gate_paths_agree(spark):
+    """The tree merge's shard level is size-gated (≤ 4×fanout
+    partitions → direct collect). Both paths must produce the same
+    estimates; the many-partition input forces the tree path."""
+    from datasketches_rust_spark.config import ThetaConfig
+    from datasketches_rust_spark.operators.sketch_aggs import (
+        theta_distinct_global,
+        theta_intersect_groups,
+    )
+
+    cfg = ThetaConfig(lg_k=14)
+    few = spark.range(0, 5000).selectExpr("id AS v")  # small partition count
+    many = few.repartition(40)  # > 4 * fanout(8) → tree path
+    assert many.rdd.getNumPartitions() == 40
+    e_few = theta_distinct_global(few, "v", cfg).first().distinct_estimate
+    e_many = theta_distinct_global(many, "v", cfg).first().distinct_estimate
+    assert e_few == e_many == 5000.0
+
+    split = spark.range(0, 4000).selectExpr("id % 3000 AS v", "id % 2 = 0 AS even")
+    i_few = theta_intersect_groups(split, "v", "even", cfg).first()
+    i_many = theta_intersect_groups(
+        split.repartition(40), "v", "even", cfg
+    ).first()
+    assert i_few.intersection_estimate == i_many.intersection_estimate

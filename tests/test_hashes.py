@@ -207,3 +207,31 @@ def test_countmin_decay_and_bloom_contains_and_insert():
     assert list(out) == [False, False, True, False, True]
     assert bf.contains_and_insert(3) is True
     assert bf.contains_and_insert(99) is False and bf.contains(99)
+
+
+def test_bloom_contains_and_insert_sequential_equivalence():
+    """Batch query_and_update must be bit-identical to the reference's
+    sequential per-item order (`bloom/sketch.rs:499-543`) — including a
+    distinct item whose bits were all set by OTHER earlier items in the
+    same batch (cross-item coverage, not just exact duplicates)."""
+    import numpy as np
+
+    from datasketches_rust_spark.functions.bloom import BloomFilter
+
+    rng = np.random.default_rng(7)
+    # tiny, saturating filter so cross-item bit coverage actually happens
+    items = [int(x) for x in rng.integers(0, 40, size=300)]
+    seq = BloomFilter(64, 3)
+    expect = []
+    for it in items:
+        expect.append(bool(seq.contains(it)))
+        seq.insert(it)
+    got = BloomFilter(64, 3).contains_and_insert_batch(items)
+    assert list(got) == expect
+    # batch-boundary invariance: splitting the stream anywhere yields
+    # the same answers
+    bf = BloomFilter(64, 3)
+    split = list(bf.contains_and_insert_batch(items[:137])) + list(
+        bf.contains_and_insert_batch(items[137:])
+    )
+    assert split == expect

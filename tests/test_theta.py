@@ -344,3 +344,21 @@ def test_v3_layout_golden_bytes():
     assert empty == struct.pack(
         "<BBBHBH", 1, 3, 3, 0, (1 << 1) | (1 << 2) | (1 << 3) | (1 << 4), sh
     )
+
+
+def test_v4_rejects_duplicate_entries():
+    """A corrupt v4 blob with a zero delta decodes to duplicate
+    entries — must be rejected like the v3 strictly-increasing check,
+    not silently accepted into union/intersect."""
+    import numpy as np
+    import pytest
+
+    from datasketches_rust_spark.config import MAX_THETA, ThetaConfig
+    from datasketches_rust_spark.functions.theta import ThetaSketch
+
+    cfg = ThetaConfig(lg_k=12)
+    bad = ThetaSketch(
+        np.array([5, 5], np.uint64), MAX_THETA, cfg.seed_hash, cfg.k
+    )._serialize_v4()
+    with pytest.raises(ValueError, match="strictly increasing"):
+        ThetaSketch.deserialize(bad, cfg)
