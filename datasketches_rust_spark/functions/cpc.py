@@ -120,6 +120,41 @@ class CpcSketch:
     def update_strings(self, items: list[str]) -> None:
         self.update_bytes([s.encode("utf-8") for s in items])
 
+    # -- coupon-level API (sparse write side, like the reference's
+    # Sparse flavor `cpc/mod.rs:59-102`). A coupon packs the full
+    # 26-bit row with the column: (row26 << 6 | col), lg_k-independent
+    # (row is masked to k on absorb), mirroring the HLL coupon design.
+
+    @staticmethod
+    def coupons_from_u64s(vals: np.ndarray, seed: int = DEFAULT_UPDATE_SEED) -> np.ndarray:
+        h1, h2 = murmur3_x64_128_u64s(vals.astype(np.uint64, copy=False), seed)
+        return CpcSketch._pack_coupons(h1, h2)
+
+    @staticmethod
+    def coupons_from_bytes(items: list[bytes], seed: int = DEFAULT_UPDATE_SEED) -> np.ndarray:
+        buf, starts, lengths = pack_bytes(items)
+        h1, h2 = murmur3_x64_128_arr(buf, starts, lengths, seed)
+        return CpcSketch._pack_coupons(h1, h2)
+
+    @staticmethod
+    def _pack_coupons(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        row26 = (h1 & _U64((1 << 26) - 1)).astype(np.uint32)
+        col = np.minimum(_clz64(h2), 63).astype(np.uint32)
+        return (row26 << np.uint32(6)) | col
+
+    def absorb_coupons(self, coupons: np.ndarray) -> None:
+        rows = ((coupons >> np.uint32(6)).astype(np.int64)) & (self.k - 1)
+        cols = (coupons & np.uint32(63)).astype(np.uint64)
+        np.bitwise_or.at(self.matrix, rows, _U64(1) << cols)
+
+    @staticmethod
+    def from_coupons(
+        coupons: np.ndarray, lg_k: int, seed: int = DEFAULT_UPDATE_SEED
+    ) -> "CpcSketch":
+        sk = CpcSketch(lg_k, seed)
+        sk.absorb_coupons(coupons)
+        return sk
+
     # -- estimate: ICON (`cpc/estimator.rs:236-429`) ------------------------
 
     def num_coupons(self) -> int:
@@ -180,9 +215,26 @@ class CpcSketch:
         self.matrix = np.bitwise_or(folded, other.matrix)
         return self
 
-    # -- serde (family 16 tag; engine dense layout) -------------------------
+    # -- serde (family 16 tag; engine layout) -------------------------------
+    # ver=1: dense — k uint64 matrix words.
+    # ver=2: sparse — u32 coupon count + packed (row<<6|col) coupons,
+    #        the engine analog of the reference's Sparse flavor: a key
+    #        with 10 items shuffles ~55 B instead of 8·k bytes.
+    #        ``serialize`` picks whichever is smaller; both decode to
+    #        identical matrices (pytest-gated).
 
     def serialize(self) -> bytes:
+        ncoup = self.num_coupons()
+        if 4 * ncoup + 4 < 8 * self.k:
+            rows_nz = np.flatnonzero(self.matrix)
+            bits = (
+                (self.matrix[rows_nz, None] >> np.arange(64, dtype=np.uint64)) & _U64(1)
+            ).astype(bool)
+            r_idx, c_idx = np.nonzero(bits)
+            coupons = (rows_nz[r_idx].astype(np.uint32) << np.uint32(6)) | c_idx.astype(
+                np.uint32
+            )
+            return serialize_cpc_coupons(coupons, self.lg_k, self.seed)
         head = struct.pack("<BBBQ", 16, 1, self.lg_k, self.seed)
         return head + self.matrix.tobytes()
 
@@ -190,13 +242,34 @@ class CpcSketch:
     def deserialize(data: bytes) -> "CpcSketch":
         if len(data) < struct.calcsize("<BBBQ"):
             raise ValueError("cpc sketch bytes too short")
-        family, _ver, lg_k, seed = struct.unpack_from("<BBBQ", data, 0)
+        family, ver, lg_k, seed = struct.unpack_from("<BBBQ", data, 0)
         if not 4 <= lg_k <= 26:
             raise ValueError(f"lg_k must be in [4, 26], got {lg_k}")
-        if len(data) < struct.calcsize("<BBBQ") + (1 << lg_k) * 8:
-            raise ValueError("truncated CPC bit matrix")
         if family != 16:
             raise ValueError(f"not a CPC sketch (family {family})")
         off = struct.calcsize("<BBBQ")
+        if ver == 2:  # sparse coupon list
+            if len(data) < off + 4:
+                raise ValueError("truncated CPC coupon count")
+            (count,) = struct.unpack_from("<I", data, off)
+            off += 4
+            if len(data) < off + 4 * count:
+                raise ValueError("truncated CPC coupon list")
+            coupons = np.frombuffer(data, "<u4", count=count, offset=off)
+            return CpcSketch.from_coupons(coupons.astype(np.uint32), lg_k, seed)
+        if ver != 1:
+            raise ValueError(f"unsupported CPC engine serial version {ver}")
+        if len(data) < off + (1 << lg_k) * 8:
+            raise ValueError("truncated CPC bit matrix")
         mat = np.frombuffer(data, np.uint64, count=1 << lg_k, offset=off).copy()
         return CpcSketch(lg_k, seed, mat)
+
+
+def serialize_cpc_coupons(
+    coupons: np.ndarray, lg_k: int, seed: int = DEFAULT_UPDATE_SEED
+) -> bytes:
+    """Sparse (ver=2) engine blob straight from a coupon buffer — no
+    dense k×8-byte matrix materialization at emit time."""
+    u = np.unique(np.asarray(coupons, dtype=np.uint32))
+    head = struct.pack("<BBBQ", 16, 2, lg_k, seed)
+    return head + struct.pack("<I", len(u)) + u.astype("<u4").tobytes()

@@ -227,6 +227,42 @@ class HllSketch:
     def update_strings(self, items: list[str]) -> None:
         self.update_bytes([s.encode("utf-8") for s in items])
 
+    # -- coupon-level API (sparse write side, `hll/sketch.rs:62-65`) --------
+    # A coupon is the 32-bit (value << 26 | slot26) packing the reference
+    # uses in LIST/SET mode — independent of lg_k, so coupon buffers can
+    # be accumulated before a sketch (or its k-masked registers) exists.
+
+    @staticmethod
+    def coupons_from_u64s(vals: np.ndarray, seed: int = DEFAULT_UPDATE_SEED) -> np.ndarray:
+        h1, h2 = murmur3_x64_128_u64s(vals.astype(np.uint64, copy=False), seed)
+        slot26, value = _coupons_from_h(h1, h2)
+        return (value.astype(np.uint32) << np.uint32(26)) | slot26.astype(np.uint32)
+
+    @staticmethod
+    def coupons_from_bytes(items: list[bytes], seed: int = DEFAULT_UPDATE_SEED) -> np.ndarray:
+        buf, starts, lengths = pack_bytes(items)
+        h1, h2 = murmur3_x64_128_arr(buf, starts, lengths, seed)
+        slot26, value = _coupons_from_h(h1, h2)
+        return (value.astype(np.uint32) << np.uint32(26)) | slot26.astype(np.uint32)
+
+    def absorb_coupons(self, coupons: np.ndarray) -> None:
+        """Fold packed coupons into the dense registers (order lost —
+        this is the promotion step of the List→Set→Dense ladder, so the
+        sketch goes out-of-order like any merge)."""
+        self.out_of_order = True
+        self.hip_accum = 0.0
+        slot = (coupons & np.uint32(_KEY_MASK_26)).astype(np.int64) & (self.k - 1)
+        value = (coupons >> np.uint32(26)).astype(np.uint8)
+        np.maximum.at(self.registers, slot, value)
+
+    @staticmethod
+    def from_coupons(
+        coupons: np.ndarray, lg_k: int, seed: int = DEFAULT_UPDATE_SEED
+    ) -> "HllSketch":
+        sk = HllSketch(lg_k, seed, out_of_order=True)
+        sk.absorb_coupons(coupons)
+        return sk
+
     # -- estimate -----------------------------------------------------------
 
     def raw_estimate(self) -> float:
@@ -456,8 +492,22 @@ class HllSketch:
         return sk
 
     # -- serde (engine layout, seed-carrying; used for the shuffle path) ------
+    # ver=1: dense — k raw register bytes.
+    # ver=2: sparse — u32 coupon count + packed (value<<26|slot) coupons,
+    #        the engine equivalent of the reference's LIST/SET wire modes
+    #        (`hll/sketch.rs:181-210`): a 5-item key at lg_k=16 shuffles
+    #        ~35 B instead of 64 KB. ``serialize`` picks whichever is
+    #        smaller; both decode to identical registers (pytest-gated),
+    #        and the family-7 DS wire encode above is unchanged.
 
     def serialize(self) -> bytes:
+        nnz = int((self.registers != 0).sum())
+        if 4 * nnz + 4 < self.k:
+            slots = np.flatnonzero(self.registers)
+            coupons = (
+                self.registers[slots].astype(np.uint32) << np.uint32(26)
+            ) | slots.astype(np.uint32)
+            return serialize_coupons(coupons, self.lg_k, self.seed)
         head = struct.pack("<BBBQ", 7, 1, self.lg_k, self.seed)
         return head + self.registers.tobytes()
 
@@ -465,14 +515,38 @@ class HllSketch:
     def deserialize(data: bytes) -> "HllSketch":
         if len(data) < struct.calcsize("<BBBQ"):
             raise ValueError("hll sketch bytes too short")
-        family, _ver, lg_k, seed = struct.unpack_from("<BBBQ", data, 0)
+        family, ver, lg_k, seed = struct.unpack_from("<BBBQ", data, 0)
         if family != 7:
             raise ValueError(f"not an HLL sketch (family {family})")
         if not 4 <= lg_k <= 21:
             raise ValueError(f"lg_k must be in [4, 21], got {lg_k}")
         off = struct.calcsize("<BBBQ")
+        if ver == 2:  # sparse coupon list
+            if len(data) < off + 4:
+                raise ValueError("truncated HLL coupon count")
+            (count,) = struct.unpack_from("<I", data, off)
+            off += 4
+            if len(data) < off + 4 * count:
+                raise ValueError("truncated HLL coupon list")
+            coupons = np.frombuffer(data, "<u4", count=count, offset=off)
+            return HllSketch.from_coupons(coupons.astype(np.uint32), lg_k, seed)
+        if ver != 1:
+            raise ValueError(f"unsupported HLL engine serial version {ver}")
         if len(data) < off + (1 << lg_k):
             raise ValueError("truncated HLL register array")
         regs = np.frombuffer(data, np.uint8, count=1 << lg_k, offset=off).copy()
         # deserialized sketches are out-of-order (`estimator.rs:286-297`)
         return HllSketch(lg_k, seed, regs, out_of_order=True)
+
+
+def serialize_coupons(
+    coupons: np.ndarray, lg_k: int, seed: int = DEFAULT_UPDATE_SEED
+) -> bytes:
+    """Sparse (ver=2) engine blob straight from a coupon buffer — no
+    dense 2^lg_k materialization, so a partition with 10^6 low-
+    cardinality keys never allocates 10^6 × k register arrays. Coupons
+    are deduplicated; multiple values per slot are fine (decode takes
+    the register max)."""
+    u = np.unique(np.asarray(coupons, dtype=np.uint32))
+    head = struct.pack("<BBBQ", 7, 2, lg_k, seed)
+    return head + struct.pack("<I", len(u)) + u.astype("<u4").tobytes()

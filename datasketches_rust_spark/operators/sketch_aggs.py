@@ -477,6 +477,92 @@ def bloom_semi_filter(
     return probe_df.filter(probe(F.col(probe_col)))
 
 
+class _CouponAccumulator:
+    """ONE sketch state per key per PARTITION for coupon sketches
+    (HLL / CPC), replacing the per-(key × Arrow batch) partials that
+    put |keys| × |batches| dense blobs into the shuffle (at lg_k=16
+    that was 64 KB × keys × batches — ~117 MB for a 25-row answer at
+    sf0.01, growing linearly with partition size).
+
+    Write side is SPARSE-first, the engine analog of the reference's
+    List→Set→Dense promotion ladder (`hll/sketch.rs:181-210`) /
+    Sparse flavor (`cpc/mod.rs:59-102`): coupon buffers (~4 B/item)
+    until ``promote_above`` coupons, then fold into one dense sketch.
+    Low-cardinality keys therefore cost O(items) memory and bytes, not
+    O(2^lg_k) — what makes per-key sketching viable at 10^9 keys."""
+
+    def __init__(self, promote_above: int, promote_fn, absorb_fn):
+        self.promote_above = promote_above
+        self.promote_fn = promote_fn  # np.uint32 coupons -> dense sketch
+        self.absorb_fn = absorb_fn  # (dense sketch, coupons) -> None
+        self.bufs: dict = {}
+        self.counts: dict = {}
+        self.dense: dict = {}
+
+    def add(self, key, coupons: np.ndarray) -> None:
+        d = self.dense.get(key)
+        if d is not None:
+            self.absorb_fn(d, coupons)
+            return
+        self.bufs.setdefault(key, []).append(coupons)
+        c = self.counts[key] = self.counts.get(key, 0) + len(coupons)
+        if c > self.promote_above:
+            self.dense[key] = self.promote_fn(np.concatenate(self.bufs.pop(key)))
+            del self.counts[key]
+
+    def emit(self, sparse_blob_fn, dense_blob_fn) -> tuple[list, list]:
+        keys, blobs = [], []
+        for k, parts in self.bufs.items():
+            keys.append(k)
+            blobs.append(sparse_blob_fn(np.concatenate(parts)))
+        for k, d in self.dense.items():
+            keys.append(k)
+            blobs.append(dense_blob_fn(d))
+        return keys, blobs
+
+
+def _typed_coupons(vals: pd.Series, coupons_u64s, coupons_bytes) -> np.ndarray:
+    arr = vals.dropna().to_numpy()
+    if arr.dtype.kind in ("i", "u"):
+        return coupons_u64s(arr.astype(np.int64).view(np.uint64))
+    return coupons_bytes([str(v).encode("utf-8") for v in arr])
+
+
+def hll_partial_sketches(
+    df: DataFrame, key_col: str, item_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Phase 1: (key, partial HLL blob) — exactly one row per key per
+    partition, sparse (coupon-list) blobs for low-cardinality keys."""
+    from ..functions.hll import HllSketch, serialize_coupons
+
+    key_type = dict(df.dtypes)[key_col]
+    k = 1 << lg_k
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = _CouponAccumulator(
+            promote_above=k // 4,
+            promote_fn=lambda c: HllSketch.from_coupons(c, lg_k),
+            absorb_fn=lambda d, c: d.absorb_coupons(c),
+        )
+        for pdf in batches:
+            for key, vals in pdf.groupby(key_col, sort=False)[item_col]:
+                acc.add(
+                    key,
+                    _typed_coupons(
+                        vals, HllSketch.coupons_from_u64s, HllSketch.coupons_from_bytes
+                    ),
+                )
+        keys, blobs = acc.emit(
+            lambda c: serialize_coupons(c, lg_k), lambda d: d.serialize()
+        )
+        yield pd.DataFrame({key_col: keys, "sketch": blobs})
+
+    from ..session import ensure_min_partitions
+
+    narrow = ensure_min_partitions(df.select(key_col, item_col))
+    return narrow.mapInPandas(partial, f"{key_col} {key_type}, sketch binary")
+
+
 def hll_distinct_by_key(
     df: DataFrame, key_col: str, item_col: str, lg_k: int = 12
 ) -> DataFrame:
@@ -487,28 +573,7 @@ def hll_distinct_by_key(
     from ..functions.hll import HllSketch
 
     key_type = dict(df.dtypes)[key_col]
-
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            keys, blobs = [], []
-            for k, vals in pdf.groupby(key_col, sort=False)[item_col]:
-                s = HllSketch(lg_k)
-                # the final merge makes every sketch out-of-order, so
-                # the composite estimator is used regardless — skip the
-                # (valid but discarded) HIP accumulation work up front
-                s.out_of_order = True
-                arr = vals.dropna().to_numpy()
-                if arr.dtype.kind in ("i", "u"):
-                    s.update_u64s(arr.astype(np.int64).view(np.uint64))
-                else:
-                    s.update_strings([str(v) for v in arr])
-                keys.append(k)
-                blobs.append(s.serialize())
-            yield pd.DataFrame({key_col: keys, "sketch": blobs})
-
-    partials = df.select(key_col, item_col).mapInPandas(
-        partial, f"{key_col} {key_type}, sketch binary"
-    )
+    partials = hll_partial_sketches(df, key_col, item_col, lg_k)
 
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         s = None
@@ -522,6 +587,42 @@ def hll_distinct_by_key(
     )
 
 
+def cpc_partial_sketches(
+    df: DataFrame, key_col: str, item_col: str, lg_k: int = 11
+) -> DataFrame:
+    """Phase 1: (key, partial CPC blob) — one row per key per
+    partition, sparse coupon blobs below 2·k coupons."""
+    from ..functions.cpc import CpcSketch, serialize_cpc_coupons
+
+    key_type = dict(df.dtypes)[key_col]
+    k = 1 << lg_k
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = _CouponAccumulator(
+            # buffer memory 4 B × 2k == dense matrix size (8 B × k)
+            promote_above=2 * k,
+            promote_fn=lambda c: CpcSketch.from_coupons(c, lg_k),
+            absorb_fn=lambda d, c: d.absorb_coupons(c),
+        )
+        for pdf in batches:
+            for key, vals in pdf.groupby(key_col, sort=False)[item_col]:
+                acc.add(
+                    key,
+                    _typed_coupons(
+                        vals, CpcSketch.coupons_from_u64s, CpcSketch.coupons_from_bytes
+                    ),
+                )
+        keys, blobs = acc.emit(
+            lambda c: serialize_cpc_coupons(c, lg_k), lambda d: d.serialize()
+        )
+        yield pd.DataFrame({key_col: keys, "sketch": blobs})
+
+    from ..session import ensure_min_partitions
+
+    narrow = ensure_min_partitions(df.select(key_col, item_col))
+    return narrow.mapInPandas(partial, f"{key_col} {key_type}, sketch binary")
+
+
 def cpc_distinct_by_key(
     df: DataFrame, key_col: str, item_col: str, lg_k: int = 11
 ) -> DataFrame:
@@ -533,24 +634,7 @@ def cpc_distinct_by_key(
     from ..functions.cpc import CpcSketch
 
     key_type = dict(df.dtypes)[key_col]
-
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            keys, blobs = [], []
-            for k, vals in pdf.groupby(key_col, sort=False)[item_col]:
-                s = CpcSketch(lg_k)
-                arr = vals.dropna().to_numpy()
-                if arr.dtype.kind in ("i", "u"):
-                    s.update_u64s(arr.astype(np.int64).view(np.uint64))
-                else:
-                    s.update_strings([str(v) for v in arr])
-                keys.append(k)
-                blobs.append(s.serialize())
-            yield pd.DataFrame({key_col: keys, "sketch": blobs})
-
-    partials = df.select(key_col, item_col).mapInPandas(
-        partial, f"{key_col} {key_type}, sketch binary"
-    )
+    partials = cpc_partial_sketches(df, key_col, item_col, lg_k)
 
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         s = None

@@ -254,3 +254,38 @@ def test_tree_merge_size_gate_paths_agree(spark):
         split.repartition(40), "v", "even", cfg
     ).first()
     assert i_few.intersection_estimate == i_many.intersection_estimate
+
+
+def test_hll_cpc_partial_stage_one_row_per_key_per_partition(spark):
+    """VERDICT r2 #1 done-criterion: the HLL/CPC partial stage emits
+    ≈ keys × partitions rows (one accumulated sketch per key per
+    partition), NOT keys × Arrow batches — the shuffle-shape fix that
+    makes per-key sketching viable at scale. Estimates must be
+    unchanged and exact in the linear-counting regime."""
+    from datasketches_rust_spark.operators.sketch_aggs import (
+        cpc_distinct_by_key,
+        cpc_partial_sketches,
+        hll_distinct_by_key,
+        hll_partial_sketches,
+    )
+
+    # 40k rows / 4 partitions → ~5 Arrow batches per partition; the old
+    # per-batch code emitted keys × partitions × batches rows
+    df = spark.range(0, 40000).selectExpr("id % 8 AS k", "id % 997 AS v").repartition(4)
+    nparts = 4
+    nkeys = 8
+    hp = hll_partial_sketches(df, "k", "v", lg_k=14)
+    assert hp.count() <= nkeys * nparts
+    cp = cpc_partial_sketches(df, "k", "v", lg_k=11)
+    assert cp.count() <= nkeys * nparts
+    # low-cardinality per-key partials ship sparse blobs, not 2^lg_k B
+    max_blob = max(len(bytes(r.sketch)) for r in hp.collect())
+    assert max_blob < 4 * 997 + 64, f"HLL partial blob {max_blob} B — dense leak?"
+
+    # estimates unchanged / exact-regime correct
+    hll = {r.k: r.hll_estimate for r in hll_distinct_by_key(df, "k", "v", lg_k=14).collect()}
+    cpc = {r.k: r.cpc_estimate for r in cpc_distinct_by_key(df, "k", "v", lg_k=11).collect()}
+    # every key sees all 997 distinct v values (40000 ≫ 8 × 997)
+    for k in range(nkeys):
+        assert abs(hll[k] - 997) / 997 < 0.03
+        assert abs(cpc[k] - 997) / 997 < 0.03

@@ -637,3 +637,62 @@ def test_hll_wire_encode_all_targets_roundtrip():
     assert len(s.serialize_wire("hll4")) < len(s.serialize_wire("hll6")) < len(
         s.serialize_wire("hll8")
     )
+
+
+def test_hll_sparse_coupon_write_side_bit_equal():
+    """Sparse (coupon-list) write side must decode to registers
+    bit-equal to the dense update path, with bounded blob size for
+    low-cardinality inputs (VERDICT r2 #4)."""
+    import numpy as np
+
+    from datasketches_rust_spark.functions.hll import HllSketch, serialize_coupons
+
+    for lg_k, n in [(16, 5), (16, 1000), (12, 200), (10, 3)]:
+        vals = (np.arange(n) * 7919 + 13).astype(np.uint64)
+        dense = HllSketch(lg_k)
+        dense.out_of_order = True
+        dense.update_u64s(vals)
+        blob = serialize_coupons(HllSketch.coupons_from_u64s(vals), lg_k)
+        sparse = HllSketch.deserialize(blob)
+        assert np.array_equal(sparse.registers, dense.registers)
+        assert sparse.estimate() == dense.estimate()
+        # a 5-item key must not cost 2^lg_k bytes on the wire
+        assert len(blob) <= 15 + 4 * n
+        # auto-choice round trip: whichever form serialize() picks,
+        # registers survive exactly
+        rt = HllSketch.deserialize(dense.serialize())
+        assert np.array_equal(rt.registers, dense.registers)
+    tiny = HllSketch(16)
+    tiny.out_of_order = True
+    tiny.update_u64s(np.arange(5).astype(np.uint64))
+    assert len(tiny.serialize()) < 64  # not 64 KB
+    assert tiny.serialize()[1] == 2  # sparse ver byte
+    # mixed-lg_k union still works through sparse blobs (slot re-mask)
+    a = HllSketch.deserialize(
+        serialize_coupons(HllSketch.coupons_from_u64s(np.arange(50, dtype=np.uint64)), 14)
+    )
+    b = HllSketch(10)
+    b.out_of_order = True
+    b.update_u64s(np.arange(25, 80).astype(np.uint64))
+    assert abs(a.union(b).estimate() - 80) / 80 < 0.1
+
+
+def test_cpc_sparse_coupon_write_side_bit_equal():
+    import numpy as np
+
+    from datasketches_rust_spark.functions.cpc import CpcSketch, serialize_cpc_coupons
+
+    for lg_k, n in [(11, 5), (11, 2000), (8, 100)]:
+        vals = (np.arange(n) * 104729 + 7).astype(np.uint64)
+        dense = CpcSketch(lg_k)
+        dense.update_u64s(vals)
+        blob = serialize_cpc_coupons(CpcSketch.coupons_from_u64s(vals), lg_k)
+        sparse = CpcSketch.deserialize(blob)
+        assert np.array_equal(sparse.matrix, dense.matrix)
+        assert len(blob) <= 15 + 4 * n
+        rt = CpcSketch.deserialize(dense.serialize())
+        assert np.array_equal(rt.matrix, dense.matrix)
+    tiny = CpcSketch(11)
+    tiny.update_u64s(np.arange(10).astype(np.uint64))
+    assert len(tiny.serialize()) < 64  # not 16 KB
+    assert tiny.serialize()[1] == 2
