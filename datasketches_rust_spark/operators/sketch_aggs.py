@@ -161,6 +161,88 @@ def theta_distinct_global(
     return spark.createDataFrame([(est,)], "distinct_estimate double")
 
 
+def theta_estimate_bounds_global(
+    df: DataFrame, item_col: str, cfg: ThetaConfig | None = None, num_std_dev: int = 3
+) -> DataFrame:
+    """Global distinct estimate WITH confidence bounds — the
+    estimation-mode surface (`theta/sketch.rs:394-435` estimate +
+    binomial lower/upper bound). Same partial → size-gated tree-merge
+    topology as ``theta_distinct_global``.
+    Returns one row (estimate, lower_bound, upper_bound)."""
+    cfg = cfg or ThetaConfig()
+    spark = df.sparkSession
+    with_key = df.select(F.lit(0).alias("_g"), F.col(item_col))
+    partials = theta_partial_sketches(with_key, "_g", item_col, cfg).select("sketch")
+
+    def merge_blobs(blobs: list[bytes]) -> bytes:
+        if not blobs:
+            return ThetaSketch.empty(cfg).serialize_compressed()
+        return theta_union(
+            [ThetaSketch.deserialize(bytes(b), cfg) for b in blobs]
+        ).serialize_compressed()
+
+    sk = ThetaSketch.deserialize(_tree_merge_blobs(partials, merge_blobs), cfg)
+    return spark.createDataFrame(
+        [(float(sk.estimate()), float(sk.lower_bound(num_std_dev)), float(sk.upper_bound(num_std_dev)))],
+        "estimate double, lower_bound double, upper_bound double",
+    )
+
+
+def hll_estimate_bounds_global(
+    df: DataFrame, item_col: str, lg_k: int = 12, num_std_dev: int = 3
+) -> DataFrame:
+    """Global HLL estimate with the measured-quantile/RSE bounds
+    (`hll/estimator.rs:328-372`). Partials (sparse-coupon write side)
+    → size-gated tree merge → one row
+    (estimate, lower_bound, upper_bound)."""
+    from ..functions.hll import HllSketch
+
+    keyed = df.select(F.lit(0).alias("_g"), F.col(item_col))
+    partials = hll_partial_sketches(keyed, "_g", item_col, lg_k).select("sketch")
+
+    def merge_blobs(blobs: list[bytes]) -> bytes:
+        s = None
+        for b in blobs:
+            part = HllSketch.deserialize(bytes(b))
+            s = part if s is None else s.union(part)
+        if s is None:
+            s = HllSketch(lg_k, out_of_order=True)
+        return s.serialize()
+
+    sk = HllSketch.deserialize(_tree_merge_blobs(partials, merge_blobs))
+    return df.sparkSession.createDataFrame(
+        [(float(sk.estimate()), float(sk.lower_bound(num_std_dev)), float(sk.upper_bound(num_std_dev)))],
+        "estimate double, lower_bound double, upper_bound double",
+    )
+
+
+def cpc_estimate_bounds_global(
+    df: DataFrame, item_col: str, lg_k: int = 11, num_std_dev: int = 3
+) -> DataFrame:
+    """Global CPC ICON estimate with kappa confidence bounds
+    (`cpc/estimator.rs:93-212`). Returns one row
+    (estimate, lower_bound, upper_bound)."""
+    from ..functions.cpc import CpcSketch
+
+    keyed = df.select(F.lit(0).alias("_g"), F.col(item_col))
+    partials = cpc_partial_sketches(keyed, "_g", item_col, lg_k).select("sketch")
+
+    def merge_blobs(blobs: list[bytes]) -> bytes:
+        s = None
+        for b in blobs:
+            part = CpcSketch.deserialize(bytes(b))
+            s = part if s is None else s.union(part)
+        if s is None:
+            s = CpcSketch(lg_k)
+        return s.serialize()
+
+    sk = CpcSketch.deserialize(_tree_merge_blobs(partials, merge_blobs))
+    return df.sparkSession.createDataFrame(
+        [(float(sk.estimate()), float(sk.lower_bound(num_std_dev)), float(sk.upper_bound(num_std_dev)))],
+        "estimate double, lower_bound double, upper_bound double",
+    )
+
+
 def theta_intersect_groups(
     df: DataFrame,
     item_col: str,
@@ -247,6 +329,13 @@ def frequent_items_by_count(
 
     Exact (== GROUP BY count, oracle-checkable) while distinct items
     < 0.75 * max_map_size (`frequencies/mod.rs:43-63`).
+
+    Scale topology: per-partition MG partials → size-gated executor
+    TREE merge (``_tree_merge_blobs``) → ONE merged blob at the driver
+    (bounded by max_map_size) → tiny result DataFrame. The previous
+    version funneled ALL partition partials into a single final task
+    (`groupBy(lit(0))`) — at 10k partitions that one task deserialized
+    10k blobs serially.
     Returns (item, est_count, lower_bound, upper_bound).
     """
     item_type = dict(df.dtypes)[item_col]
@@ -263,13 +352,65 @@ def frequent_items_by_count(
 
     partials = df.select(item_col).mapInPandas(partial, "sketch binary")
 
-    def merge(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_blobs(blobs: list[bytes]) -> bytes:
+        sk = FrequentItemsSketch(max_map_size)
+        for b in blobs:
+            sk.merge(FrequentItemsSketch.deserialize(bytes(b)))
+        return sk.serialize(item_type="str")
+
+    sk = FrequentItemsSketch.deserialize(_tree_merge_blobs(partials, merge_blobs))
+    rows = sk.frequent_items(threshold=-1 if sk.is_exact() else None)
+    out = df.sparkSession.createDataFrame(
+        [(r[0], int(r[1]), int(r[2]), int(r[3])) for r in rows],
+        f"{item_col} string, est_count long, lower_bound long, upper_bound long",
+    )
+    if item_type != "string":
+        out = out.withColumn(item_col, F.col(item_col).cast(item_type))
+    return out
+
+
+def frequent_items_by_key(
+    df: DataFrame, key_col: str, item_col: str, max_map_size: int = 64
+) -> DataFrame:
+    """Grouped heavy hitters: the top items WITHIN each key group via
+    two-phase Misra-Gries — one MG sketch per (key × partition) in the
+    partial stage (blobs bounded by max_map_size), merged per key.
+    The shuffle carries |keys| × |partitions| bounded blobs instead of
+    the raw rows; the final stage is distributed across keys (no
+    single-task funnel by construction). Exact while per-key distinct
+    items < 0.75 * max_map_size (`frequencies/mod.rs:43-63`).
+    Returns (key, item, est_count, lower_bound, upper_bound)."""
+    key_type = dict(df.dtypes)[key_col]
+    item_type = dict(df.dtypes)[item_col]
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        for pdf in batches:
+            for k, vals in pdf.groupby(key_col, sort=False)[item_col]:
+                sk = acc.get(k)
+                if sk is None:
+                    sk = acc[k] = FrequentItemsSketch(max_map_size)
+                sk.update_batch(vals.astype(str))
+        yield pd.DataFrame(
+            {
+                key_col: list(acc.keys()),
+                "sketch": [s.serialize(item_type="str") for s in acc.values()],
+            }
+        )
+
+    from ..session import ensure_min_partitions
+
+    narrow = ensure_min_partitions(df.select(key_col, item_col))
+    partials = narrow.mapInPandas(partial, f"{key_col} {key_type}, sketch binary")
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         sk = FrequentItemsSketch(max_map_size)
         for b in pdf["sketch"]:
             sk.merge(FrequentItemsSketch.deserialize(bytes(b)))
         rows = sk.frequent_items(threshold=-1 if sk.is_exact() else None)
         return pd.DataFrame(
             {
+                key_col: [key[0]] * len(rows),
                 item_col: [r[0] for r in rows],
                 "est_count": [r[1] for r in rows],
                 "lower_bound": [r[2] for r in rows],
@@ -277,11 +418,10 @@ def frequent_items_by_count(
             }
         )
 
-    out_schema = f"{item_col} string, est_count long, lower_bound long, upper_bound long"
-    out = (
-        partials.withColumn("_g", F.lit(0))
-        .groupBy("_g")
-        .applyInPandas(merge, out_schema)
+    out = partials.groupBy(key_col).applyInPandas(
+        merge,
+        f"{key_col} {key_type}, {item_col} string, est_count long, "
+        "lower_bound long, upper_bound long",
     )
     if item_type != "string":
         out = out.withColumn(item_col, F.col(item_col).cast(item_type))

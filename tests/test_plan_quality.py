@@ -77,3 +77,39 @@ def test_whole_stage_codegen_present(spark):
         plan = _plan(spark, name)
         # executedPlan renders codegen stages as "*(n)" prefixes
         assert "*(" in plan, name
+
+
+def test_frequent_items_no_single_task_funnel(spark):
+    """VERDICT r2 #3: the global frequent-items final phase must not
+    funnel every partition partial into one task. The merged sketch is
+    now tree-merged to the driver (bounded by max_map_size), so the
+    result plan is a LocalRelation/parallelized scan — no
+    groupBy(lit(0)) single-task FlatMapGroupsInPandas remains. The
+    by-key variant distributes the final merge across keys and emits
+    ≤ keys × partitions partial rows."""
+    from pyspark.sql import functions as F
+
+    from datasketches_rust_spark.operators.sketch_aggs import (
+        frequent_items_by_count,
+        frequent_items_by_key,
+    )
+
+    df = (
+        spark.range(0, 20000)
+        .selectExpr("id % 5 AS k", "CAST(id % 37 AS STRING) AS item")
+        .repartition(4)
+    )
+    out = frequent_items_by_count(df, "item", max_map_size=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan, plan[:800]
+    got = {r.item: r.est_count for r in out.collect()}
+    assert got == {str(i): len(range(i, 20000, 37)) for i in range(37)}
+    # exact regime: bounds collapse onto the count
+    assert all(r.lower_bound == r.est_count == r.upper_bound for r in out.collect())
+
+    by_key = frequent_items_by_key(df, "k", "item", max_map_size=256)
+    rows = by_key.collect()
+    assert len(rows) == 5 * 37
+    for r in rows:
+        want = sum(1 for i in range(int(r.item), 20000, 37) if i % 5 == r.k)
+        assert r.est_count == want
