@@ -5,14 +5,25 @@ Coupon generation is semantic parity with the reference CPC
 9001) → row = h1 & (k − 1), col = min(leading-zeros(h2), 63);
 `row_col = row<<6 | col` is one bit of a k×64 bit matrix.
 
-State: we keep the FULL bit matrix (k uint64 words) at all times
-instead of the reference's Sparse/Hybrid/Pinned/Sliding flavor ladder
-(`cpc/mod.rs:59-102`) and FM85 entropy compression
-(`cpc/compression.rs`): those exist to shrink the *wire* size, which
-Parquet/Zstd already provides in Spark (SURVEY.md §4 "superseded,
-skip"). Dense state makes merge the trivial commutative word-wise OR
-(`cpc/union.rs:18-62` describes the same bit-matrix OR as its general
-case) — exactly Spark's partial/final aggregation contract.
+State: we keep the FULL bit matrix (k uint64 words) in memory instead
+of the reference's Sparse/Hybrid/Pinned/Sliding flavor ladder
+(`cpc/mod.rs:59-102`) — dense state makes merge the trivial
+commutative word-wise OR (`cpc/union.rs:18-62` describes the same
+bit-matrix OR as its general case), exactly Spark's partial/final
+aggregation contract. This matches the reference's own union, which
+also accumulates a plain bit matrix and only materializes the
+flavored representation on output (`cpc/union.rs:141-209`).
+
+Serialization is two-layer, like HLL:
+
+* the ENGINE layout (``serialize``/``deserialize`` below) for the
+  Spark shuffle path — seed-carrying, dense or sparse-coupon chosen
+  by size;
+* the reference FM85 compressed WIRE format
+  (``serialize_wire``/``deserialize_wire``, functions/cpc_wire.py) —
+  byte-compatible with Apache DataSketches java/cpp/rust for
+  cross-system checkpoint exchange (round 3; the flavor ladder and
+  entropy coder live there, where the wire is the point).
 
 Estimator: the reference's ICON estimator, ported exactly
 (`cpc/estimator.rs:236-429`): N̂ = f(lg_k, num_coupons) via the
@@ -214,6 +225,21 @@ class CpcSketch:
         self.lg_k = other.lg_k
         self.matrix = np.bitwise_or(folded, other.matrix)
         return self
+
+    # -- serde (reference FM85 compressed wire format) ----------------------
+
+    def serialize_wire(self) -> bytes:
+        """Apache DataSketches CPC wire bytes (`cpc/sketch.rs:452-509`,
+        functions/cpc_wire.py) — readable by java/cpp/rust."""
+        from .cpc_wire import serialize_wire
+
+        return serialize_wire(self)
+
+    @staticmethod
+    def deserialize_wire(data: bytes, seed: int = DEFAULT_UPDATE_SEED) -> "CpcSketch":
+        from .cpc_wire import deserialize_wire
+
+        return deserialize_wire(data, seed)
 
     # -- serde (family 16 tag; engine layout) -------------------------------
     # ver=1: dense — k uint64 matrix words.

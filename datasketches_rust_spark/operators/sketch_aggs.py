@@ -15,16 +15,18 @@ shuffling |keys| × |partitions| sketch blobs of ≤ 8·k bytes — the
 exact reason the reference makes every sketch mergeable
 (`datasketches/src/hll/union.rs:79-151` etc.).
 
-Wire-format interop of the binary ``sketch`` columns (round 2):
-theta partials are the reference's compact v3 layout (v4-compressed
-and legacy v1/v2 decode also supported, functions/theta.py), bloom is
-the family-21 layout and frequent-items the family-10 layout — i.e.
-these BinaryType columns, whether shuffled or checkpointed to
-parquet/Iceberg, are readable by any Apache DataSketches
-implementation (java/cpp/rust) and vice versa. HLL/CPC/CountMin/
-t-digest partials use a documented engine-internal dense layout
-(their reference wire formats exist to compress the *wire*, which
-Parquet/Zstd already does — see each module's docstring).
+Wire-format interop of the binary ``sketch`` columns: theta partials
+are the reference's compact v3/v4 layouts (legacy v1/v2 decode too,
+functions/theta.py), bloom is the family-21 layout and frequent-items
+the family-10 layout; HLL speaks the family-7 wire bidirectionally
+(functions/hll.py serialize_wire/deserialize_wire) and CPC the FM85
+compressed wire (functions/cpc_wire.py, round 3) — i.e. checkpointed
+sketch columns are exchangeable with any Apache DataSketches
+implementation (java/cpp/rust) in both directions for every family
+except CountMin/t-digest engine internals (t-digest additionally
+speaks the family-20 wire + tdunning compat, functions/tdigest.py).
+The SHUFFLE path intentionally uses the engine layouts where they are
+smaller/faster (HLL/CPC sparse-coupon or dense, chosen by size).
 """
 
 from __future__ import annotations

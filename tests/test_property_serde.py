@@ -193,3 +193,38 @@ def test_truncated_valid_blobs_rejected(cut, lg_k):
                 assert not np.array_equal(rt.entries, sk.entries) or cut >= len(blob)
             except (ValueError, struct.error):
                 pass
+
+
+@settings(max_examples=25, deadline=None)
+@given(vals=u64s, lg_k=st.integers(min_value=4, max_value=12))
+def test_cpc_fm85_wire_roundtrip_any_input(vals, lg_k):
+    """FM85 compressed wire is a bijection on matrix states for any
+    input multiset and lg_k (flavor band chosen by the data)."""
+    from datasketches_rust_spark.functions.cpc import CpcSketch
+    from datasketches_rust_spark.functions.cpc_wire import (
+        deserialize_wire,
+        serialize_wire,
+    )
+
+    sk = CpcSketch(lg_k)
+    if vals:
+        sk.update_u64s(np.array(vals, np.uint64))
+    blob = serialize_wire(sk)
+    rt = deserialize_wire(blob)
+    assert np.array_equal(rt.matrix, sk.matrix)
+    assert serialize_wire(rt) == blob
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=60))
+def test_cpc_fm85_wire_rejects_garbage(data):
+    """Arbitrary bytes must raise ValueError, never crash or return a
+    bogus sketch (the torn-blob contract every family follows)."""
+    import pytest
+
+    from datasketches_rust_spark.functions.cpc_wire import deserialize_wire
+
+    try:
+        deserialize_wire(data)
+    except ValueError:
+        pass
