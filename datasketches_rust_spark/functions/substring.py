@@ -244,6 +244,116 @@ class _PrefixHash:
         return (h1 << np.uint64(32)) | h2
 
 
+class _LcsBatchContext:
+    """Shared state for verifying a whole Arrow batch of candidate
+    pairs (round 3, VERDICT r2 #7): prefix hashes are built ONCE per
+    unique document (documents recur across pairs after the
+    candidate-pair join), and the sorted window-hash array for each
+    (document, probe length) is computed once and shared by every pair
+    that probes that length — the 'shared hash tables per length
+    round'. Replaces the per-pair loop that rebuilt everything."""
+
+    __slots__ = ("ph", "wh")
+
+    def __init__(self) -> None:
+        self.ph: dict = {}  # text -> _PrefixHash
+        self.wh: dict = {}  # (id(ph), length) -> (sorted hashes, positions)
+
+    def prefix(self, text: str) -> "_PrefixHash":
+        p = self.ph.get(text)
+        if p is None:
+            p = self.ph[text] = _PrefixHash(
+                np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            )
+        return p
+
+    def sorted_windows(self, p: "_PrefixHash", length: int):
+        key = (id(p), length)
+        entry = self.wh.get(key)
+        if entry is None:
+            h = p.window_hashes(length)
+            order = np.argsort(h, kind="stable")
+            entry = self.wh[key] = (h[order], order)
+        return entry
+
+    def common_window(self, pa, pb, length: int):
+        """(found, (pos_a, pos_b)) — does a shared length-gram exist?
+        Sorted-array searchsorted probe over the cached tables (no
+        per-call re-sort, unlike np.intersect1d)."""
+        sa, oa = self.sorted_windows(pa, length)
+        sb, ob = self.sorted_windows(pb, length)
+        if len(sa) == 0 or len(sb) == 0:
+            return False, None
+        if len(sb) < len(sa):  # probe the smaller into the larger
+            sa, oa, sb, ob, swapped = sb, ob, sa, oa, True
+        else:
+            swapped = False
+        idx = np.searchsorted(sb, sa)
+        idx_c = np.minimum(idx, len(sb) - 1)
+        hit = sb[idx_c] == sa
+        if not hit.any():
+            return False, None
+        i0 = int(np.flatnonzero(hit)[0])
+        pa_pos, pb_pos = int(oa[i0]), int(ob[idx_c[i0]])
+        return True, ((pb_pos, pa_pos) if swapped else (pa_pos, pb_pos))
+
+
+def lcs_at_least_batch(
+    texts_a: list, texts_b: list, min_len: int
+) -> np.ndarray:
+    """Exact LCS length for each pair IF >= min_len, else 0 — the
+    thresholded contract of the substring-match operator (pairs below
+    min_len are filtered out downstream, so their exact value is never
+    observable). One threshold probe eliminates hash-coincidence false
+    candidates in a single shared-table round; survivors gallop up
+    (LCS is typically near min_len) then binary-search, reusing every
+    (document, length) table across the batch. Final matches are
+    byte-verified with suffix-array fallback, like the per-pair path."""
+    ctx = _LcsBatchContext()
+    out = np.zeros(len(texts_a), dtype=np.int64)
+    for i, (a, b) in enumerate(zip(texts_a, texts_b)):
+        a = a or ""
+        b = b or ""
+        if not a or not b:
+            continue
+        pa, pb = ctx.prefix(a), ctx.prefix(b)
+        hi = min(pa.n, pb.n)
+        if hi < min_len or min_len < 1:
+            continue
+        ok, pos = ctx.common_window(pa, pb, min_len)
+        if not ok:
+            continue
+        lo, best_pos = min_len, pos
+        # gallop: double until a probe fails or we hit the ceiling
+        cur = min_len
+        while cur < hi:
+            nxt = min(cur * 2, hi)
+            ok, pos = ctx.common_window(pa, pb, nxt)
+            if ok:
+                lo, best_pos, cur = nxt, pos, nxt
+            else:
+                hi = nxt - 1
+                break
+        # binary search in (lo, hi]
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            ok, pos = ctx.common_window(pa, pb, mid)
+            if ok:
+                lo, best_pos = mid, pos
+            else:
+                hi = mid - 1
+        ia, ib = best_pos
+        ab = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+        bb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+        if np.array_equal(ab[ia : ia + lo], bb[ib : ib + lo]):
+            out[i] = lo
+        else:
+            # hash collision steered the search — exact oracle
+            exact = _lcs_suffix_array(a, b)
+            out[i] = exact if exact >= min_len else 0
+    return out
+
+
 def longest_common_substring_len(a: str, b: str) -> int:
     """Exact LCS length: binary search on L over shared-L-gram
     existence (sorted hash intersect), final match byte-verified;

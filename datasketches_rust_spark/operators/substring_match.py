@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..config import DedupConfig
 from ..functions.substring import (
     document_fingerprints_batch,
-    longest_common_substring_len,
+    lcs_at_least_batch,
 )
 from .lsh import candidate_pairs
 
@@ -99,12 +99,13 @@ def substring_match_pairs(
 
     @F.pandas_udf("long")
     def lcs(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        # batch-level verification: prefix hashes built once per unique
+        # document and (doc, probe-length) hash tables shared across
+        # every pair in the Arrow batch (functions/substring.py,
+        # round 3) — replaces the per-pair rebuild that made this the
+        # slowest stage of the bench
         return pd.Series(
-            [
-                longest_common_substring_len(x or "", y or "")
-                for x, y in zip(ta.tolist(), tb.tolist())
-            ],
-            dtype="int64",
+            lcs_at_least_batch(ta.tolist(), tb.tolist(), min_len), dtype="int64"
         )
 
     return (

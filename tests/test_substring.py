@@ -138,3 +138,44 @@ def test_fast_lcs_matches_suffix_array_oracle():
     assert longest_common_substring_len("samesame", "samesame") == 8
     u = ("héllo wörld", "wörld héllo")
     assert longest_common_substring_len(*u) == _lcs_suffix_array(*u)
+
+
+def test_lcs_batch_matches_per_pair_and_oracle():
+    """The batched thresholded verifier must equal the per-pair path
+    (and the suffix-array oracle) for every pair at/above threshold,
+    and return 0 below it."""
+    import numpy as np
+
+    from datasketches_rust_spark.functions.substring import (
+        _lcs_suffix_array,
+        lcs_at_least_batch,
+        longest_common_substring_len,
+    )
+
+    rng = np.random.default_rng(3)
+    alphabet = "abcdef "
+    docs = []
+    for _ in range(12):
+        docs.append("".join(rng.choice(list(alphabet), size=rng.integers(30, 200))))
+    # plant shared runs of assorted lengths (some straddling threshold)
+    shared = "".join(rng.choice(list(alphabet), size=60))
+    docs[0] += shared
+    docs[1] = shared[:35] + docs[1]
+    docs[2] = docs[2][:10] + shared[:24] + docs[2][10:]
+    docs[3] += shared[:15]  # below threshold 23
+    pairs = [(i, j) for i in range(len(docs)) for j in range(i + 1, len(docs))]
+    ta = [docs[i] for i, _ in pairs]
+    tb = [docs[j] for _, j in pairs]
+    min_len = 23
+    got = lcs_at_least_batch(ta, tb, min_len)
+    for n, (a, b) in enumerate(zip(ta, tb)):
+        exact = _lcs_suffix_array(a, b)
+        per_pair = longest_common_substring_len(a, b)
+        assert per_pair == exact
+        if exact >= min_len:
+            assert got[n] == exact, (n, got[n], exact)
+        else:
+            assert got[n] == 0, (n, got[n], exact)
+    # empty / degenerate inputs
+    assert list(lcs_at_least_batch(["", "abc", None], ["x", "", "abc"], 2)) == [0, 0, 0]
+    assert list(lcs_at_least_batch(["abcde"], ["xxabcdexx"], 5)) == [5]
