@@ -411,16 +411,7 @@ def serialize_wire(sk: CpcSketch) -> bytes:
 
     has_table = table_words is not None
     has_window = window_words is not None
-    # preamble_ints (`cpc/serialization.rs:24-48`); has_hip is False
-    preamble_ints = 2
-    if c > 0:
-        preamble_ints += 1
-        if has_table:
-            preamble_ints += 1
-            if has_window:
-                preamble_ints += 1
-        if has_window:
-            preamble_ints += 1
+    preamble_ints = _make_preamble_ints(c, False, has_table, has_window)
 
     flags = (
         (1 << _FLAG_COMPRESSED)
@@ -445,6 +436,97 @@ def serialize_wire(sk: CpcSketch) -> bytes:
         if has_table:
             out += table_words.tobytes()
     return bytes(out)
+
+
+class CpcWrapper:
+    """Header-only view over FM85 wire bytes (`cpc/wrapper.rs:40-182`):
+    reads lg_k / num_coupons / optional HIP accumulator from the
+    preamble WITHOUT decompressing the window or pair table, so an
+    estimate over a checkpointed blob costs O(header) instead of
+    O(k). HIP-bearing blobs (written by an un-merged reference sketch)
+    estimate via the stored HIP accumulator, exactly like the
+    reference wrapper; merged blobs use ICON."""
+
+    __slots__ = ("lg_k", "merge_flag", "num_coupons", "hip_est_accum")
+
+    def __init__(self, data: bytes) -> None:
+        if len(data) < 8:
+            raise ValueError("CPC wire bytes too short")
+        preamble_ints, ser_ver, family, lg_k, fic, flags, _seed_hash = (
+            struct.unpack_from("<BBBBBBH", data, 0)
+        )
+        if family != _FAMILY_CPC:
+            raise ValueError(f"not a CPC sketch (family {family})")
+        if ser_ver != _SERIAL_VERSION:
+            raise ValueError(f"unsupported CPC serial version {ser_ver}")
+        if not 4 <= lg_k <= 26:
+            raise ValueError(f"lg_k out of range; got {lg_k}")
+        if fic > 63:
+            raise ValueError(f"first_interesting_column out of range; got {fic}")
+        if not flags & (1 << _FLAG_COMPRESSED):
+            raise ValueError("only compressed CPC sketches are supported")
+        has_hip = bool(flags & (1 << _FLAG_HAS_HIP))
+        has_table = bool(flags & (1 << _FLAG_HAS_TABLE))
+        has_window = bool(flags & (1 << _FLAG_HAS_WINDOW))
+        self.lg_k = lg_k
+        self.merge_flag = not has_hip
+        self.num_coupons = 0
+        self.hip_est_accum = 0.0
+        off = 8
+        if has_table or has_window:
+            if len(data) < off + 4:
+                raise ValueError("truncated CPC wire blob")
+            (self.num_coupons,) = struct.unpack_from("<I", data, off)
+            off += 4
+            if has_table and has_window:
+                off += 4  # table_num_entries
+                if has_hip:
+                    if len(data) < off + 16:
+                        raise ValueError("truncated CPC wire blob")
+                    _kxp, self.hip_est_accum = struct.unpack_from("<dd", data, off)
+                    off += 16
+            if has_table:
+                off += 4
+            if has_window:
+                off += 4
+            if has_hip and not (has_table and has_window):
+                if len(data) < off + 16:
+                    raise ValueError("truncated CPC wire blob")
+                _kxp, self.hip_est_accum = struct.unpack_from("<dd", data, off)
+        expected = _make_preamble_ints(
+            self.num_coupons, has_hip, has_table, has_window
+        )
+        if preamble_ints != expected:
+            raise ValueError(
+                f"CPC preamble ints {preamble_ints} != expected {expected}"
+            )
+
+    def estimate(self) -> float:
+        """HIP when present, ICON otherwise (`cpc/wrapper.rs:151-160`,
+        matching `cpc/estimator.rs::estimate`)."""
+        from .cpc import icon_estimate
+
+        if not self.merge_flag:
+            return self.hip_est_accum
+        return icon_estimate(self.lg_k, self.num_coupons)
+
+
+def _make_preamble_ints(
+    num_coupons: int, has_hip: bool, has_table: bool, has_window: bool
+) -> int:
+    """`cpc/serialization.rs:24-48`."""
+    preamble_ints = 2
+    if num_coupons > 0:
+        preamble_ints += 1
+        if has_hip:
+            preamble_ints += 4
+        if has_table:
+            preamble_ints += 1
+            if has_window:
+                preamble_ints += 1
+        if has_window:
+            preamble_ints += 1
+    return preamble_ints
 
 
 def deserialize_wire(data: bytes, seed: int = DEFAULT_UPDATE_SEED) -> CpcSketch:

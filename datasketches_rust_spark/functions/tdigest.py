@@ -55,10 +55,34 @@ class TDigest:
         self.max = -np.inf
         self.reverse_merge = False
         self.centroids_weight = 0.0
+        self.frozen = False
+
+    # -- freeze (`tdigest/sketch.rs:268-278`: TDigestMut::freeze) ------------
+
+    def freeze(self) -> "TDigest":
+        """Compress the pending buffer and mark this sketch immutable —
+        the reference's TDigestMut → TDigest transition. Queries
+        (quantile/rank/cdf/pmf/serialize) remain available; further
+        update/merge raises. Returns self for chaining."""
+        self.compress()
+        self.frozen = True
+        return self
+
+    def unfreeze(self) -> "TDigest":
+        """Back to mutable — the engine's equivalent of the reference's
+        deserialize-into-TDigestMut round trip (the immutable type has
+        no in-place path there either)."""
+        self.frozen = False
+        return self
+
+    def _check_mutable(self) -> None:
+        if self.frozen:
+            raise ValueError("t-digest is frozen; unfreeze() to update")
 
     # -- update ----------------------------------------------------------------
 
     def update(self, v: float) -> None:
+        self._check_mutable()
         if np.isnan(v) or np.isinf(v):
             return
         self.buffer.append(float(v))
@@ -68,6 +92,7 @@ class TDigest:
             self.compress()
 
     def update_batch(self, vals: np.ndarray) -> None:
+        self._check_mutable()
         vals = np.asarray(vals, np.float64)
         vals = vals[np.isfinite(vals)]
         if len(vals) == 0:
@@ -139,6 +164,7 @@ class TDigest:
         self.reverse_merge = not self.reverse_merge
 
     def merge(self, other: "TDigest") -> "TDigest":
+        self._check_mutable()
         if other.total_weight() == 0:
             return self
         om = np.concatenate([np.array(other.buffer, np.float64), other.means])

@@ -154,3 +154,66 @@ def test_union_through_wire_blobs():
     merged = ra.union(rb)
     assert np.array_equal(merged.matrix, direct.matrix)
     assert abs(merged.estimate() / 60000 - 1) < 0.05
+
+
+def test_cpc_wrapper_header_only_estimate():
+    """CpcWrapper reads only the preamble — estimate equals the full
+    decode's ICON estimate, at O(header) cost (`cpc/wrapper.rs`)."""
+    for n in (0, 50, 400, 3000, 50000):
+        sk = CpcSketch(LG_K)
+        if n:
+            sk.update_u64s(np.arange(n).astype(np.uint64))
+        blob = W.serialize_wire(sk)
+        wr = W.CpcWrapper(blob)
+        assert wr.lg_k == LG_K
+        assert wr.num_coupons == sk.num_coupons()
+        assert wr.estimate() == sk.estimate()
+        assert wr.merge_flag is True
+
+
+def test_cpc_hip_bearing_blob_accepted():
+    """Blobs from an un-merged reference sketch carry a HIP block;
+    decode must skip it into the same matrix, and the wrapper must
+    report the stored HIP value (`cpc/wrapper.rs:151-160`)."""
+    import struct
+
+    sk = CpcSketch(LG_K)
+    sk.update_u64s(np.arange(50).astype(np.uint64))  # sparse: table only
+    blob = W.serialize_wire(sk)
+    pre, ver, fam, lg_k, fic, flags = blob[:6]
+    assert flags == (1 << W._FLAG_COMPRESSED) | (1 << W._FLAG_HAS_TABLE)
+    # insert (kxp, hip_est_accum) after the two u32 count fields
+    # (second HIP decision point: not (table && window)) and bump
+    # preamble_ints by 4
+    hip_val = 49.75
+    hip_block = struct.pack("<dd", 123.5, hip_val)
+    patched = (
+        bytes([pre + 4, ver, fam, lg_k, fic, flags | (1 << W._FLAG_HAS_HIP)])
+        + blob[6:16]  # seed_hash + num_coupons + table_data_words
+        + hip_block
+        + blob[16:]
+    )
+    rt = W.deserialize_wire(patched)
+    assert np.array_equal(rt.matrix, sk.matrix)
+    wr = W.CpcWrapper(patched)
+    assert wr.merge_flag is False
+    assert wr.estimate() == hip_val
+
+
+def test_tdigest_freeze_unfreeze():
+    from datasketches_rust_spark.functions.tdigest import TDigest
+
+    td = TDigest(100)
+    td.update_batch(np.arange(1000, dtype=np.float64))
+    q_before = td.quantile(0.5)
+    td.freeze()
+    assert td.quantile(0.5) == q_before  # queries still work
+    assert TDigest.deserialize(td.serialize()).quantile(0.5) == q_before
+    with pytest.raises(ValueError, match="frozen"):
+        td.update(1.0)
+    with pytest.raises(ValueError, match="frozen"):
+        td.update_batch(np.ones(3))
+    with pytest.raises(ValueError, match="frozen"):
+        td.merge(TDigest(100))
+    td.unfreeze()
+    td.update(5.0)  # mutable again
