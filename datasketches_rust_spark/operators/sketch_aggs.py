@@ -57,10 +57,13 @@ def _sketch_values(vals: pd.Series, cfg: ThetaConfig) -> ThetaSketch:
     return ThetaSketch.from_hashes(_hash_values(vals, cfg), cfg)
 
 
-def theta_partial_sketches(
+def _theta_partials_counted(
     df: DataFrame, key_col: str, item_col: str, cfg: ThetaConfig
-) -> DataFrame:
-    """Phase 1: (key, partial sketch binary) per (arrow batch × key)."""
+) -> tuple:
+    """Phase 1: (key, partial sketch binary) — ONE row per key per
+    partition — plus the partial frame's partition count (known from
+    the input statically; reading it off the output frame would make
+    AQE materialize the upstream exchange as an extra job)."""
     key_type = dict(df.dtypes)[key_col]
     schema = f"{key_col} {key_type}, sketch binary"
 
@@ -106,12 +109,21 @@ def theta_partial_sketches(
             blobs.append(sk.serialize_compressed())
         yield pd.DataFrame({key_col: keys, "sketch": blobs})
 
-    from ..session import ensure_min_partitions
+    from ..session import ensure_min_partitions_counted
 
     # CPU-bound hashing stage: spread a small (one-row-group) scan
     # over the cluster; big inputs pass through shuffle-free
-    narrow = ensure_min_partitions(df.select(key_col, item_col))
-    return narrow.mapInPandas(partial, schema)
+    narrow, nparts = ensure_min_partitions_counted(df.select(key_col, item_col))
+    return narrow.mapInPandas(partial, schema), nparts
+
+
+def theta_partial_sketches(
+    df: DataFrame, key_col: str, item_col: str, cfg: ThetaConfig
+) -> DataFrame:
+    """Phase 1 public surface: (key, partial sketch binary), one row
+    per key per partition (see :func:`_theta_partials_counted`)."""
+    partials, _ = _theta_partials_counted(df, key_col, item_col, cfg)
+    return partials
 
 
 def theta_distinct_by_key(
@@ -146,7 +158,8 @@ def theta_distinct_global(
     cfg = cfg or ThetaConfig()
     spark = df.sparkSession
     with_key = df.select(F.lit(0).alias("_g"), F.col(item_col))
-    partials = theta_partial_sketches(with_key, "_g", item_col, cfg).select("sketch")
+    partials, nparts = _theta_partials_counted(with_key, "_g", item_col, cfg)
+    partials = partials.select("sketch")
 
     def merge_blobs(blobs: list[bytes]) -> bytes:
         if not blobs:
@@ -158,7 +171,7 @@ def theta_distinct_global(
             [ThetaSketch.deserialize(bytes(b), cfg) for b in blobs]
         ).serialize_compressed()
 
-    blob = _tree_merge_blobs(partials, merge_blobs)
+    blob = _tree_merge_blobs(partials, merge_blobs, nparts=nparts)
     est = ThetaSketch.deserialize(blob, cfg).estimate()
     return spark.createDataFrame([(est,)], "distinct_estimate double")
 
@@ -174,7 +187,8 @@ def theta_estimate_bounds_global(
     cfg = cfg or ThetaConfig()
     spark = df.sparkSession
     with_key = df.select(F.lit(0).alias("_g"), F.col(item_col))
-    partials = theta_partial_sketches(with_key, "_g", item_col, cfg).select("sketch")
+    partials, nparts = _theta_partials_counted(with_key, "_g", item_col, cfg)
+    partials = partials.select("sketch")
 
     def merge_blobs(blobs: list[bytes]) -> bytes:
         if not blobs:
@@ -183,7 +197,9 @@ def theta_estimate_bounds_global(
             [ThetaSketch.deserialize(bytes(b), cfg) for b in blobs]
         ).serialize_compressed()
 
-    sk = ThetaSketch.deserialize(_tree_merge_blobs(partials, merge_blobs), cfg)
+    sk = ThetaSketch.deserialize(
+        _tree_merge_blobs(partials, merge_blobs, nparts=nparts), cfg
+    )
     return spark.createDataFrame(
         [(float(sk.estimate()), float(sk.lower_bound(num_std_dev)), float(sk.upper_bound(num_std_dev)))],
         "estimate double, lower_bound double, upper_bound double",
@@ -200,7 +216,8 @@ def hll_estimate_bounds_global(
     from ..functions.hll import HllSketch
 
     keyed = df.select(F.lit(0).alias("_g"), F.col(item_col))
-    partials = hll_partial_sketches(keyed, "_g", item_col, lg_k).select("sketch")
+    partials, nparts = _hll_partials_counted(keyed, "_g", item_col, lg_k)
+    partials = partials.select("sketch")
 
     def merge_blobs(blobs: list[bytes]) -> bytes:
         s = None
@@ -211,7 +228,7 @@ def hll_estimate_bounds_global(
             s = HllSketch(lg_k, out_of_order=True)
         return s.serialize()
 
-    sk = HllSketch.deserialize(_tree_merge_blobs(partials, merge_blobs))
+    sk = HllSketch.deserialize(_tree_merge_blobs(partials, merge_blobs, nparts=nparts))
     return df.sparkSession.createDataFrame(
         [(float(sk.estimate()), float(sk.lower_bound(num_std_dev)), float(sk.upper_bound(num_std_dev)))],
         "estimate double, lower_bound double, upper_bound double",
@@ -227,7 +244,8 @@ def cpc_estimate_bounds_global(
     from ..functions.cpc import CpcSketch
 
     keyed = df.select(F.lit(0).alias("_g"), F.col(item_col))
-    partials = cpc_partial_sketches(keyed, "_g", item_col, lg_k).select("sketch")
+    partials, nparts = _cpc_partials_counted(keyed, "_g", item_col, lg_k)
+    partials = partials.select("sketch")
 
     def merge_blobs(blobs: list[bytes]) -> bytes:
         s = None
@@ -238,7 +256,7 @@ def cpc_estimate_bounds_global(
             s = CpcSketch(lg_k)
         return s.serialize()
 
-    sk = CpcSketch.deserialize(_tree_merge_blobs(partials, merge_blobs))
+    sk = CpcSketch.deserialize(_tree_merge_blobs(partials, merge_blobs, nparts=nparts))
     return df.sparkSession.createDataFrame(
         [(float(sk.estimate()), float(sk.lower_bound(num_std_dev)), float(sk.upper_bound(num_std_dev)))],
         "estimate double, lower_bound double, upper_bound double",
@@ -276,9 +294,9 @@ def _merged_side_sketches(
     partials it is a pure extra shuffle, so the driver collects the
     per-partition blobs directly."""
     keyed = df.select(F.col(split_col).cast("int").alias("_side"), F.col(item_col))
-    partials = theta_partial_sketches(keyed, "_side", item_col, cfg)
+    partials, nparts = _theta_partials_counted(keyed, "_side", item_col, cfg)
 
-    if partials.rdd.getNumPartitions() <= 4 * fanout:
+    if nparts <= 4 * fanout:
         shards = partials.collect()
     else:
 
@@ -542,7 +560,9 @@ def _merge_countmin(blobs: list[bytes]):
     return out
 
 
-def _tree_merge_blobs(partials: DataFrame, merge_fn, fanout: int = 8) -> bytes:
+def _tree_merge_blobs(
+    partials: DataFrame, merge_fn, fanout: int = 8, nparts: int | None = None
+) -> bytes:
     """Sketch-blob merge, size-gated on the partial count:
 
     * few partials (≤ 4 × fanout partitions) — collect the blobs
@@ -557,7 +577,11 @@ def _tree_merge_blobs(partials: DataFrame, merge_fn, fanout: int = 8) -> bytes:
 
     The gate reads the plan's partition count (no job); the partial
     stage emits ≤ 1 blob per partition, so it bounds driver ingress."""
-    nparts = partials.rdd.getNumPartitions()
+    if nparts is None:
+        # no hint: safe to read off the frame only when there is no
+        # exchange upstream (plain scan → mapInPandas); callers whose
+        # partials repartition MUST pass the count
+        nparts = partials.rdd.getNumPartitions()
     if nparts <= 4 * fanout:
         return merge_fn([bytes(r.sketch) for r in partials.collect()])
 
@@ -670,11 +694,13 @@ def _typed_coupons(vals: pd.Series, coupons_u64s, coupons_bytes) -> np.ndarray:
     return coupons_bytes([str(v).encode("utf-8") for v in arr])
 
 
-def hll_partial_sketches(
+def _hll_partials_counted(
     df: DataFrame, key_col: str, item_col: str, lg_k: int = 12
-) -> DataFrame:
+) -> tuple:
     """Phase 1: (key, partial HLL blob) — exactly one row per key per
-    partition, sparse (coupon-list) blobs for low-cardinality keys."""
+    partition, sparse (coupon-list) blobs for low-cardinality keys —
+    plus the statically-known partition count (see
+    :func:`_theta_partials_counted` for why)."""
     from ..functions.hll import HllSketch, serialize_coupons
 
     key_type = dict(df.dtypes)[key_col]
@@ -699,10 +725,17 @@ def hll_partial_sketches(
         )
         yield pd.DataFrame({key_col: keys, "sketch": blobs})
 
-    from ..session import ensure_min_partitions
+    from ..session import ensure_min_partitions_counted
 
-    narrow = ensure_min_partitions(df.select(key_col, item_col))
-    return narrow.mapInPandas(partial, f"{key_col} {key_type}, sketch binary")
+    narrow, nparts = ensure_min_partitions_counted(df.select(key_col, item_col))
+    return narrow.mapInPandas(partial, f"{key_col} {key_type}, sketch binary"), nparts
+
+
+def hll_partial_sketches(
+    df: DataFrame, key_col: str, item_col: str, lg_k: int = 12
+) -> DataFrame:
+    partials, _ = _hll_partials_counted(df, key_col, item_col, lg_k)
+    return partials
 
 
 def hll_distinct_by_key(
@@ -729,11 +762,12 @@ def hll_distinct_by_key(
     )
 
 
-def cpc_partial_sketches(
+def _cpc_partials_counted(
     df: DataFrame, key_col: str, item_col: str, lg_k: int = 11
-) -> DataFrame:
+) -> tuple:
     """Phase 1: (key, partial CPC blob) — one row per key per
-    partition, sparse coupon blobs below 2·k coupons."""
+    partition, sparse coupon blobs below 2·k coupons — plus the
+    statically-known partition count."""
     from ..functions.cpc import CpcSketch, serialize_cpc_coupons
 
     key_type = dict(df.dtypes)[key_col]
@@ -759,10 +793,17 @@ def cpc_partial_sketches(
         )
         yield pd.DataFrame({key_col: keys, "sketch": blobs})
 
-    from ..session import ensure_min_partitions
+    from ..session import ensure_min_partitions_counted
 
-    narrow = ensure_min_partitions(df.select(key_col, item_col))
-    return narrow.mapInPandas(partial, f"{key_col} {key_type}, sketch binary")
+    narrow, nparts = ensure_min_partitions_counted(df.select(key_col, item_col))
+    return narrow.mapInPandas(partial, f"{key_col} {key_type}, sketch binary"), nparts
+
+
+def cpc_partial_sketches(
+    df: DataFrame, key_col: str, item_col: str, lg_k: int = 11
+) -> DataFrame:
+    partials, _ = _cpc_partials_counted(df, key_col, item_col, lg_k)
+    return partials
 
 
 def cpc_distinct_by_key(
