@@ -13,7 +13,15 @@
 * ``theta_lb(blob)`` / ``theta_ub(blob)`` — 2-σ confidence bounds
   (full binomial-bounds port);
 * ``hll_estimate(blob)``       — scalar composite estimate over the
-  engine HLL blob; ``cpc_estimate(blob)`` — ICON estimate.
+  engine HLL blob; ``cpc_estimate(blob)`` — ICON estimate;
+* ``hll_sketch_agg(item)`` / ``cpc_sketch_agg(item)`` — GROUPED_AGG
+  builders (engine blobs, sparse-coupon when smaller; lg_k fixed at
+  registration — 12 for HLL, 11 for CPC — use the DataFrame operators
+  for per-call k); ``hll_union_agg(blob)`` / ``cpc_union_agg(blob)``
+  — re-aggregation of pre-sketched rollups;
+* ``tdigest_agg(value)``       — GROUPED_AGG t-digest builder
+  (family-20 wire blob); ``tdigest_quantile(blob, q)`` /
+  ``tdigest_rank(blob, x)`` — scalar queries over the blob.
 
 With these, a user can write pure SQL:
 
@@ -92,6 +100,94 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
         _scalar(lambda b: CpcSketch.deserialize(b).estimate())
     )
 
+    import numpy as np
+
+    from ..hashes import canonical_double
+
+    def _typed_update(sk, vals: pd.Series) -> None:
+        """Typed item dispatch shared by the HLL/CPC SQL aggregates —
+        same contract as the theta surface: ints via the u64 path,
+        floats via canonical_double → u64 bit pattern (the reference's
+        ``update_f64``, `hll/sketch.rs` / `cpc/sketch.rs` f64 paths),
+        NOT str(v), so SQL- and DataFrame-built sketches over the same
+        float column carry identical coupons and union correctly."""
+        arr = vals.dropna().to_numpy()
+        if len(arr) == 0:
+            return
+        if arr.dtype.kind in ("i", "u"):
+            sk.update_u64s(arr.astype(np.int64).view(np.uint64))
+        elif arr.dtype.kind == "f":
+            sk.update_u64s(canonical_double(arr.astype(np.float64)))
+        else:
+            sk.update_strings([str(v) for v in arr])
+
+    @pandas_udf("binary")
+    def hll_sketch_agg(vals: pd.Series) -> bytes:
+        sk = HllSketch(12)
+        # grouped-agg partials are merged → composite estimator anyway
+        sk.out_of_order = True
+        _typed_update(sk, vals)
+        return sk.serialize()
+
+    @pandas_udf("binary")
+    def hll_union_agg(blobs: pd.Series) -> bytes:
+        s = None
+        for b in blobs.dropna():
+            part = HllSketch.deserialize(bytes(b))
+            s = part if s is None else s.union(part)
+        if s is None:
+            s = HllSketch(12, out_of_order=True)
+        return s.serialize()
+
+    @pandas_udf("binary")
+    def cpc_sketch_agg(vals: pd.Series) -> bytes:
+        sk = CpcSketch(11)
+        _typed_update(sk, vals)
+        return sk.serialize()
+
+    @pandas_udf("binary")
+    def cpc_union_agg(blobs: pd.Series) -> bytes:
+        s = None
+        for b in blobs.dropna():
+            part = CpcSketch.deserialize(bytes(b))
+            s = part if s is None else s.union(part)
+        if s is None:
+            s = CpcSketch(11)
+        return s.serialize()
+
+    from .tdigest import TDigest
+
+    @pandas_udf("binary")
+    def tdigest_agg(vals: pd.Series) -> bytes:
+        td = TDigest(200)
+        td.update_batch(vals.dropna().to_numpy(np.float64))
+        return td.serialize()
+
+    @pandas_udf("binary")
+    def tdigest_merge_agg(blobs: pd.Series) -> bytes:
+        td = TDigest(200)
+        for b in blobs.dropna():
+            td.merge(TDigest.deserialize(bytes(b)))
+        return td.serialize()
+
+    @pandas_udf("double")
+    def tdigest_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
+        out = []
+        for b, q in zip(blobs, qs):
+            out.append(
+                None if b is None else TDigest.deserialize(bytes(b)).quantile(float(q))
+            )
+        return pd.Series(out, dtype="float64", index=blobs.index)
+
+    @pandas_udf("double")
+    def tdigest_rank(blobs: pd.Series, xs: pd.Series) -> pd.Series:
+        out = []
+        for b, x in zip(blobs, xs):
+            out.append(
+                None if b is None else TDigest.deserialize(bytes(b)).rank(float(x))
+            )
+        return pd.Series(out, dtype="float64", index=blobs.index)
+
     spark.udf.register("theta_sketch_agg", theta_sketch_agg)
     spark.udf.register("theta_union_agg", theta_union_agg)
     spark.udf.register("theta_estimate", theta_estimate)
@@ -99,3 +195,11 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
     spark.udf.register("theta_ub", theta_ub)
     spark.udf.register("hll_estimate", hll_estimate)
     spark.udf.register("cpc_estimate", cpc_estimate)
+    spark.udf.register("hll_sketch_agg", hll_sketch_agg)
+    spark.udf.register("hll_union_agg", hll_union_agg)
+    spark.udf.register("cpc_sketch_agg", cpc_sketch_agg)
+    spark.udf.register("cpc_union_agg", cpc_union_agg)
+    spark.udf.register("tdigest_agg", tdigest_agg)
+    spark.udf.register("tdigest_merge_agg", tdigest_merge_agg)
+    spark.udf.register("tdigest_quantile", tdigest_quantile)
+    spark.udf.register("tdigest_rank", tdigest_rank)

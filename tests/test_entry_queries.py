@@ -219,6 +219,81 @@ def test_sql_scalar_udfs_null_safe(spark):
     assert by_null[True].lb is None and by_null[True].ub is None
 
 
+def test_sql_registry_hll_cpc_tdigest(spark):
+    """The non-theta SQL families: grouped builders, rollup re-union,
+    scalar queries over the blobs. Exact/linear-counting regimes so the
+    answers are deterministic; tdigest with n < buffer is exact."""
+    import numpy as np
+
+    from datasketches_rust_spark.functions.sql_registry import register_sql_functions
+
+    register_sql_functions(spark)
+    spark.range(0, 4000).selectExpr("id % 4 AS k", "id AS v").createOrReplaceTempView(
+        "t_sql_fam"
+    )
+    # HLL lg_k=12 linear-counting regime at n=1000/key → within the
+    # reference's LC relative-error envelope (well under 2% here)
+    got = {
+        r.k: r.est
+        for r in spark.sql(
+            """SELECT k, hll_estimate(hll_sketch_agg(v)) AS est
+               FROM t_sql_fam GROUP BY k"""
+        ).collect()
+    }
+    assert all(abs(got[k] / 1000.0 - 1.0) < 0.02 for k in range(4))
+    # rollup: per-key HLL blobs re-unioned to the global sketch
+    (tot,) = spark.sql(
+        """SELECT hll_estimate(hll_union_agg(sk)) AS n FROM
+           (SELECT k, hll_sketch_agg(v) AS sk FROM t_sql_fam GROUP BY k)"""
+    ).first()
+    assert abs(tot / 4000.0 - 1.0) < 0.02
+    # CPC: ICON estimate within the reference's own 2% gate
+    (cpc_tot,) = spark.sql(
+        """SELECT cpc_estimate(cpc_union_agg(sk)) AS n FROM
+           (SELECT k, cpc_sketch_agg(v) AS sk FROM t_sql_fam GROUP BY k)"""
+    ).first()
+    assert abs(cpc_tot / 4000.0 - 1.0) < 0.02
+    # tdigest: n=4000 < k=200 buffer regime still compresses, but the
+    # median of 0..3999 must land within the K_2 accuracy gate
+    (q50, r2000) = spark.sql(
+        """SELECT tdigest_quantile(td, 0.5) AS q50, tdigest_rank(td, 2000.0) AS r
+           FROM (SELECT tdigest_agg(CAST(v AS DOUBLE)) AS td FROM t_sql_fam)"""
+    ).first()
+    assert abs(q50 / 1999.5 - 1.0) < 0.03  # same rel gate as test_sketches
+    assert abs(r2000 - 0.5) < 0.01
+    # two-level tdigest rollup merges partials
+    (q50m,) = spark.sql(
+        """SELECT tdigest_quantile(tdigest_merge_agg(td), 0.5) AS q
+           FROM (SELECT k, tdigest_agg(CAST(v AS DOUBLE)) AS td
+                 FROM t_sql_fam GROUP BY k)"""
+    ).first()
+    assert abs(q50m / 1999.5 - 1.0) < 0.03
+
+
+def test_sql_hll_cpc_float_hash_parity(spark):
+    """Float columns through the HLL/CPC SQL aggregates must follow
+    canonical_double → u64 (the reference's update_f64), not str(v):
+    coupons must match the engine's own float path bit-for-bit."""
+    import numpy as np
+
+    from datasketches_rust_spark.functions.hll import HllSketch
+    from datasketches_rust_spark.functions.sql_registry import register_sql_functions
+    from datasketches_rust_spark.hashes import canonical_double
+
+    register_sql_functions(spark)
+    vals = [float(x) / 3.0 for x in range(500)] + [-0.0]
+    spark.createDataFrame([(v,) for v in vals], "v double").createOrReplaceTempView(
+        "t_float_fam"
+    )
+    (blob,) = spark.sql("SELECT hll_sketch_agg(v) AS sk FROM t_float_fam").first()
+    sql_sk = HllSketch.deserialize(bytes(blob))
+    ref = HllSketch(12)
+    ref.update_u64s(canonical_double(np.array(vals, np.float64)))
+    assert np.array_equal(sql_sk.registers, ref.registers)
+    # −0.0 collapses into +0.0 → 500 distinct values, linear regime
+    assert abs(sql_sk.estimate() / 500.0 - 1.0) < 0.02
+
+
 def test_theta_distinct_global_empty_input(spark):
     """Zero-row / all-null input returns estimate 0.0 instead of
     raising 'theta_union of nothing' at the driver (ADVICE r2)."""
