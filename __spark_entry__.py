@@ -347,6 +347,22 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(docs, "doc_id", "text")
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals (per-row codegen)."""
+    from datasketches_rust_spark.operators.textstats import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+def _q_top_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-token coverage via skew-free explode → double hash agg."""
+    from datasketches_rust_spark.operators.textstats import top_token_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_token_stats(docs, "doc_id", "text")
+
+
 def _q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_rust_spark.operators.ann import cosine_topk_bruteforce
 
@@ -657,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
+        "repetition_stats": _q_repetition_stats,
+        "top_token_stats": _q_top_token_stats,
         "bpe_token_stats": _q_bpe_token_stats,
         "documents_split": _q_documents_split,
         "contamination_flags": _q_contamination_flags,
@@ -865,6 +883,35 @@ def oracle_sql() -> dict[str, str]:
                 END AS predicted_lang,
                 greatest(score_en, score_de, score_fr, score_es)::BIGINT AS best_score
             FROM scored
+        """,
+        "repetition_stats": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS l
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(l)::BIGINT AS n_tokens,
+                   len(list_distinct(l))::DOUBLE
+                       / greatest(len(l), 1)::DOUBLE AS distinct_token_frac,
+                   len(list_distinct(list_transform(range(1, len(l)),
+                           i -> l[i] || ' ' || l[i+1])))::DOUBLE
+                       / greatest(len(l) - 1, 1)::DOUBLE AS distinct_bigram_frac
+            FROM t
+        """,
+        "top_token_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+                FROM documents
+            ), cnt AS (
+                SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(MAX(c) AS BIGINT) AS top_token_count,
+                   MAX(c)::DOUBLE / SUM(c)::DOUBLE AS top_token_frac
+            FROM cnt GROUP BY doc_id
         """,
         "quality_scores": """
             SELECT doc_id,

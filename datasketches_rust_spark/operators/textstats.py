@@ -234,6 +234,57 @@ def deterministic_split(
     return df.withColumn("split", expr)
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals, the per-row-codegen subset:
+    token count, distinct-token fraction, and distinct-bigram fraction.
+    Low distinct fractions flag boilerplate / keyword-stuffed documents
+    before they reach the (more expensive) near-dup pipeline. All
+    array built-ins — whole-stage codegen, SQL-expressible.
+    Returns (id, n_tokens, distinct_token_frac, distinct_bigram_frac).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(n, F.lit(1)).cast("double")
+        ).alias("distinct_token_frac"),
+        (
+            F.size(F.array_distinct(bigrams)).cast("double")
+            / F.greatest(F.size(bigrams), F.lit(1)).cast("double")
+        ).alias("distinct_bigram_frac"),
+    )
+
+
+def top_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Top-token coverage (the other half of the Gopher repetition
+    battery): the share of a document taken by its single most frequent
+    token. Explode → (doc, token) count → per-doc max/sum: two hash
+    aggregations whose keys distribute evenly even for hot documents
+    (a doc's tokens spread over (doc, token) composite keys first), so
+    the plan carries no per-doc skew at 10^12 rows. Ties return only
+    the max count, never an arbitrary token — deterministic output.
+    Returns (id, n_tokens, top_token_count, top_token_frac).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    counts = exploded.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.max("c").cast("long").alias("top_token_count"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_token_frac"
+        ),
+    )
+
+
 def contamination_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """PII / contamination indicators per document — the pre-training
     scrub pass: counts of email-, URL-, and long-digit-run-shaped
