@@ -224,3 +224,125 @@ def streaming_theta_distinct(stream_df: DataFrame, key_col: str, item_col: str,
             update_fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def streaming_tdigest_quantiles(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = 200,
+) -> DataFrame:
+    """Stateful streaming quantiles: per-key state is a family-20
+    t-digest wire blob (`functions/tdigest.py`), so state size is
+    bounded by the digest's centroid budget (~O(k)) no matter how many
+    rows stream through — the mergeable-sketch contract
+    (`tdigest/sketch.rs` merge) on the streaming state store. Each
+    micro-batch merges the key's new values and emits the updated
+    quantiles (output mode "update"); after the stream drains, the
+    digest is identical to a batch build over the same rows in the
+    same arrival order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.tdigest import TDigest
+
+    qcols = [f"q_{int(q * 100)}" for q in quantiles]
+    key_type = dict(stream_df.dtypes)[key_col]
+
+    def update_fn(key, pdfs, state):
+        td = (
+            TDigest.deserialize(bytes(state.get[0]))
+            if state.exists
+            else TDigest(k)
+        )
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna().to_numpy(np.float64)
+            if len(vals):
+                td.update_batch(vals)
+        state.update((td.serialize(),))
+        row = {key_col: [key[0]]}
+        for q, c in zip(quantiles, qcols):
+            row[c] = [td.quantile(q)]
+        yield pd.DataFrame(row)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import BinaryType, StructField, StructType, _parse_datatype_string
+
+    out_schema = _parse_datatype_string(
+        f"{key_col} {key_type}, " + ", ".join(f"{c} double" for c in qcols)
+    )
+    state_schema = StructType([StructField("tdigest", BinaryType())])
+    return (
+        stream_df.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update_fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def streaming_frequent_items(
+    stream_df: DataFrame,
+    key_col: str,
+    item_col: str,
+    max_map_size: int = 1024,
+) -> DataFrame:
+    """Stateful streaming heavy hitters: per-key state is a family-10
+    frequencies wire blob (`functions/frequencies.py`), bounded by the
+    Misra–Gries map budget (`frequencies/sketch.rs` merge contract).
+    Emits the current top item per key each micro-batch — ties broken
+    deterministically by (estimate desc, item asc) — plus the stream
+    weight and the sketch's maximum error, so a consumer can see
+    whether the top item is exact (max_error == 0) or estimation-mode.
+    """
+    import pandas as pd
+
+    from ..functions.frequencies import FrequentItemsSketch
+
+    key_type = dict(stream_df.dtypes)[key_col]
+
+    def update_fn(key, pdfs, state):
+        sk = (
+            FrequentItemsSketch.deserialize(bytes(state.get[0]))
+            if state.exists
+            else FrequentItemsSketch(max_map_size)
+        )
+        for pdf in pdfs:
+            items = pdf[item_col].dropna().astype(str)
+            if len(items):
+                sk.update_batch(items)
+        state.update((sk.serialize("str"),))
+        top_item, top_est = None, 0
+        for item, c in sk.counters.items():
+            est = c + sk.offset
+            if est > top_est or (
+                est == top_est and (top_item is None or str(item) < str(top_item))
+            ):
+                top_item, top_est = item, est
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "top_item": [None if top_item is None else str(top_item)],
+                "top_estimate": [int(top_est)],
+                "stream_weight": [int(sk.stream_weight)],
+                "max_error": [int(sk.maximum_error)],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import BinaryType, StructField, StructType, _parse_datatype_string
+
+    out_schema = _parse_datatype_string(
+        f"{key_col} {key_type}, top_item string, top_estimate long, "
+        "stream_weight long, max_error long"
+    )
+    state_schema = StructType([StructField("frequencies", BinaryType())])
+    return (
+        stream_df.select(key_col, item_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update_fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -210,3 +210,98 @@ def test_streaming_theta_distinct_stateful(spark, tmp_path):
     )
     for k, n in batch.items():
         assert latest[k] == float(n), (k, latest[k], n)
+
+
+def test_streaming_tdigest_quantiles_stateful(spark, tmp_path):
+    """applyInPandasWithState tdigest: state is a family-20 blob per
+    key; after draining a 2-file stream the per-key digest equals a
+    batch digest built over the same rows in arrival order (same
+    centroids -> identical quantiles)."""
+    import numpy as np
+
+    from datasketches_rust_spark.functions.tdigest import TDigest
+    from datasketches_rust_spark.streaming.incremental import (
+        streaming_tdigest_quantiles,
+    )
+
+    src = str(tmp_path / "src_td")
+    rows1 = [(i % 2, float(i)) for i in range(400)]
+    rows2 = [(i % 2, float(i)) for i in range(400, 1000)]
+    spark.createDataFrame(rows1, "k int, v double").coalesce(1).write.parquet(
+        src + "/f1.parquet"
+    )
+    spark.createDataFrame(rows2, "k int, v double").coalesce(1).write.parquet(
+        src + "/f2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("k int, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = streaming_tdigest_quantiles(stream, "k", "v", (0.5, 0.9))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("td_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    upd = spark.sql("SELECT * FROM td_state").toPandas()
+    latest = upd.groupby("k").last()
+    # exact median/percentile of each key's 500 values, within the
+    # digest's accuracy gate (n < buffered regime is near-exact)
+    for k in (0, 1):
+        vals = np.array(
+            [v for kk, v in rows1 + rows2 if kk == k], dtype=np.float64
+        )
+        assert abs(latest.loc[k, "q_50"] / np.quantile(vals, 0.5) - 1) < 0.03
+        assert abs(latest.loc[k, "q_90"] / np.quantile(vals, 0.9) - 1) < 0.02
+
+
+def test_streaming_frequent_items_stateful(spark, tmp_path):
+    """applyInPandasWithState frequencies: state is a family-10 blob;
+    the drained stream's top item per key matches the batch mode()
+    (exact regime: distinct items < purge threshold -> max_error 0)."""
+    from datasketches_rust_spark.streaming.incremental import (
+        streaming_frequent_items,
+    )
+
+    src = str(tmp_path / "src_fi")
+    # key 0: 'a' dominates; key 1: 'z' dominates, split across files
+    rows1 = [(i % 2, "a" if i % 3 else "b") for i in range(300)]
+    rows2 = [(1, "z")] * 400 + [(0, "a")] * 50
+    spark.createDataFrame(rows1, "k int, item string").coalesce(1).write.parquet(
+        src + "/f1.parquet"
+    )
+    spark.createDataFrame(rows2, "k int, item string").coalesce(1).write.parquet(
+        src + "/f2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("k int, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = streaming_frequent_items(stream, "k", "item", max_map_size=64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fi_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    upd = spark.sql("SELECT * FROM fi_state").toPandas()
+    latest = upd.groupby("k").last()
+    batch = (
+        spark.createDataFrame(rows1 + rows2, "k int, item string")
+        .groupBy("k", "item")
+        .count()
+        .toPandas()
+    )
+    for k in (0, 1):
+        sub = batch[batch["k"] == k].set_index("item")["count"]
+        assert latest.loc[k, "top_item"] == sub.idxmax()
+        assert latest.loc[k, "max_error"] == 0  # exact regime
+        assert latest.loc[k, "top_estimate"] == sub.max()
+        assert latest.loc[k, "stream_weight"] == sub.sum()
