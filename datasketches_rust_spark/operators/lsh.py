@@ -72,12 +72,25 @@ def _clique_expr():
 def _stratified_pairs(banded: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
     """(bucket_cols…, a, b, chained) candidate pairs with hot-bucket
     stratification (module docstring). ``chained=1`` marks pairs from
-    the over-cap chain path."""
-    counts = banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_n"))
-    hot = counts.filter(F.col("_n") > cap).select(*bucket_cols)
+    the over-cap chain path.
+
+    Plan shape: ONE shuffle of the banded frame — a window over the
+    bucket computes each bucket's size in place, and both strata
+    (normal clique / hot chain) filter the same windowed frame, so
+    Spark reuses the exchange instead of re-shuffling the fan-out per
+    stratum. This replaced a count-prepass + broadcast-hot-list plan
+    (3 passes over ``banded`` + an AQE broadcast barrier): identical
+    output, one full shuffle instead of ~2.1 plus a planning barrier —
+    the win holds at any scale, and at 10^12 banded rows it is one
+    fewer full shuffle of the largest intermediate in the pipeline.
+    The hot-bucket ceiling still bounds the ``collect_set`` buffer
+    (every bucket on the clique path has ≤ cap rows by construction).
+    """
+    w_bucket = Window.partitionBy(*bucket_cols)
+    sized = banded.withColumn("_n", F.count(F.lit(1)).over(w_bucket))
 
     normal = (
-        banded.join(F.broadcast(hot), bucket_cols, "left_anti")
+        sized.filter(F.col("_n") <= cap)
         .groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
@@ -87,7 +100,7 @@ def _stratified_pairs(banded: DataFrame, bucket_cols: list[str], cap: int) -> Da
 
     w = Window.partitionBy(*bucket_cols).orderBy("_id")
     chained = (
-        banded.join(F.broadcast(hot), bucket_cols, "left_semi")
+        sized.filter(F.col("_n") > cap)
         .select(*bucket_cols, F.col("_id").alias("a"), F.lead("_id").over(w).alias("b"))
         .filter(F.col("b").isNotNull() & (F.col("a") < F.col("b")))
         .select(*bucket_cols, "a", "b", F.lit(1).alias("chained"))
