@@ -60,6 +60,27 @@ def _q_neardup_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_neardup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering over EXACT word-3-gram-Jaccard
+    edges (threshold 0.5) — the fully-oracle-checkable twin of the
+    flagship MinHash pipeline. The edge set is the oracle-green
+    `ngram_jaccard_pairs` output, so the oracle (exact pairwise
+    Jaccard + recursive-CTE transitive closure in DuckDB) witnesses
+    the ENTIRE cluster-assignment path: shingling → distributed
+    shingle-join pair generation → pointer-doubling CC → singleton
+    labeling. cluster_id = min doc_id in the component on both sides
+    (`operators/connected_components.py` min-label contract)."""
+    from datasketches_rust_spark.operators.dedup import DedupConfig, assign_clusters
+    from datasketches_rust_spark.operators.textstats import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).select("a", "b")
+    all_ids = docs.select(F.col("doc_id").alias("id"))
+    return assign_clusters(all_ids, edges, DedupConfig()).select(
+        F.col("id").alias("doc_id"), F.col("cluster_id")
+    )
+
+
 def _q_theta_distinct_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _read(spark, sf_dir, "customer")
     out = theta_distinct_by_key(cust, "c_nationkey", "c_custkey", ThetaConfig(lg_k=15))
@@ -655,6 +676,7 @@ def _q_substring_match_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "neardup_text_clusters": _q_neardup_text_clusters,
+        "neardup_clusters_exact": _q_neardup_clusters_exact,
         "theta_distinct_by_nation": _q_theta_distinct_by_nation,
         "theta_union_orders": _q_theta_union_orders,
         "theta_intersect_even_odd": _q_theta_intersect_even_odd,
@@ -883,6 +905,46 @@ def oracle_sql() -> dict[str, str]:
                 END AS predicted_lang,
                 greatest(score_en, score_de, score_fr, score_es)::BIGINT AS best_score
             FROM scored
+        """,
+        "neardup_clusters_exact": """
+            WITH RECURSIVE tok_arrays AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+                FROM documents
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(arr) >= 3
+                            THEN arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                            ELSE array_to_string(arr, ' ') END AS tok
+                FROM tok_arrays,
+                     UNNEST(CASE WHEN len(arr) >= 3
+                                 THEN range(1, len(arr) - 1)
+                                 ELSE [1] END) AS t(i)
+                WHERE CASE WHEN len(arr) >= 3
+                           THEN arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                           ELSE array_to_string(arr, ' ') END <> ''
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+                FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            ),
+            pairs AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON sa.doc_id = a
+                JOIN sizes sb ON sb.doc_id = b
+                WHERE inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE >= 0.5
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY src
         """,
         "repetition_stats": """
             WITH t AS (
