@@ -906,6 +906,22 @@ def oracle_sql() -> dict[str, str]:
                 greatest(score_en, score_de, score_fr, score_es)::BIGINT AS best_score
             FROM scored
         """,
+        # image-invariant oracles: the Spark side computes the booleans
+        # from real decoded pixels (mapInPandas); the oracle pins the
+        # input_hint contract (every deterministic image decodes and
+        # round-trips at PSNR >= 40 dB, resize lands at 16x16). A codec
+        # or PSNR regression flips a boolean and hash-mismatches.
+        "image_roundtrip_psnr": """
+            SELECT printf('img_%012d', i) AS image_id,
+                   TRUE AS psnr_ok, TRUE AS decode_ok
+            FROM range(400) t(i)
+        """,
+        "image_resize": """
+            SELECT printf('img_%012d', i) AS image_id,
+                   CAST(16 AS INTEGER) AS w, CAST(16 AS INTEGER) AS h,
+                   TRUE AS resize_ok
+            FROM range(400) t(i)
+        """,
         "neardup_clusters_exact": """
             WITH RECURSIVE tok_arrays AS (
                 SELECT doc_id,
