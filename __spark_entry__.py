@@ -384,6 +384,17 @@ def _q_top_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_token_stats(docs, "doc_id", "text")
 
 
+def _q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram benchmark-overlap decontamination: every 50th document
+    stands in for the eval benchmark; overlaps catch the benchmark
+    members themselves plus their planted near-duplicates."""
+    from datasketches_rust_spark.operators.textstats import benchmark_ngram_overlap
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    return benchmark_ngram_overlap(docs, "doc_id", "text", bench, "text", n=13)
+
+
 def _q_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketches_rust_spark.operators.ann import cosine_topk_bruteforce
 
@@ -700,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "documents_split": _q_documents_split,
         "contamination_flags": _q_contamination_flags,
+        "benchmark_decontamination": _q_benchmark_decontamination,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -990,6 +1002,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(c) AS BIGINT) AS top_token_count,
                    MAX(c)::DOUBLE / SUM(c)::DOUBLE AS top_token_frac
             FROM cnt GROUP BY doc_id
+        """,
+        "benchmark_decontamination": """
+            WITH tok_arrays AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(arr[i:i+12], ' ') AS g
+                FROM tok_arrays, UNNEST(range(1, len(arr) - 11)) AS t(i)
+                WHERE len(arr) >= 13
+            ),
+            bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+            ),
+            hits AS (
+                SELECT grams.doc_id, COUNT(*) AS n
+                FROM grams JOIN bench USING (g)
+                GROUP BY grams.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_overlapping_ngrams,
+                   COALESCE(hits.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
         """,
         "quality_scores": """
             SELECT doc_id,

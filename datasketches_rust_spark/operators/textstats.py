@@ -285,6 +285,68 @@ def top_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def benchmark_ngram_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark_df: DataFrame,
+    bench_text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination by token-n-gram collision — the
+    standard pretraining scrub: a corpus document that shares any
+    ``n``-token span with an evaluation benchmark is contaminated and
+    must be dropped before training. Distinct corpus (doc, n-gram)
+    pairs semi-join the benchmark's distinct n-gram set; per-doc
+    overlap counts come from one hash aggregation.
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (eval suites are MBs against TBs), so it is broadcast — the corpus
+    never shuffles on n-gram; the only wide exchange is the per-doc
+    count agg, keyed by doc id (uniform). Documents shorter than ``n``
+    tokens contribute no n-grams (never a whole-text fallback — a
+    short doc can't contain a full benchmark span).
+    Returns (id, n_overlapping_ngrams, contaminated boolean) for every
+    input document.
+    """
+    def ngrams(col: str, width: int):
+        arr = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(arr) - width),
+            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, width)),
+        )
+        return F.when(F.size(arr) >= width, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    bench = (
+        benchmark_df.select(F.explode(ngrams(bench_text_col, n)).alias("g"))
+        .distinct()
+    )
+    corpus = (
+        df.select(F.col(id_col), F.explode(ngrams(text_col, n)).alias("g"))
+        .distinct()
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlapping_ngrams"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_overlapping_ngrams"), F.lit(0))
+            .cast("long")
+            .alias("n_overlapping_ngrams"),
+            (F.coalesce(F.col("n_overlapping_ngrams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def contamination_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """PII / contamination indicators per document — the pre-training
     scrub pass: counts of email-, URL-, and long-digit-run-shaped
