@@ -28,12 +28,59 @@ Scale notes (the parts that matter at 10^12 edges):
 Deterministic output: labels are min(ids); the assignment is a pure
 function of the edge *set*, independent of partitioning or executor
 count (the two-cluster-size reproducibility requirement).
+
+Plan choice (mirrors operators/ann.py's selectivity-gated LSH-vs-exact
+pattern): an iterative join loop pays ~2 driver barriers + 3 shuffles
+PER ROUND regardless of data size — on a deduplicated edge set that
+fits one executor, that fixed cost dominates wall-clock. Below
+``driver_max_edges`` the (already materialized, exactly counted) edge
+list is collected and solved with the same min-label + pointer-jump
+algorithm vectorized in NumPy, then parallelized back out; above it,
+the distributed loop runs. The choice is logged, never silent, and
+the collect is bounded by the threshold the caller sees.
 """
 
 from __future__ import annotations
 
+import logging
+
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+
+
+def _driver_components(sym: DataFrame) -> DataFrame:
+    """Min-label CC of a small symmetric edge frame, NumPy-vectorized
+    on the driver. Same fixpoint as the distributed loop (labels =
+    min id per component over dense sorted indices, so min dense
+    index == min id for any orderable id type)."""
+    pdf = sym.toPandas()
+    uniq, inv = np.unique(
+        np.concatenate([pdf["s"].to_numpy(), pdf["d"].to_numpy()]), return_inverse=True
+    )
+    s_i, d_i = inv[: len(pdf)], inv[len(pdf) :]
+    lab = np.arange(len(uniq))
+    while True:
+        nxt = lab.copy()
+        np.minimum.at(nxt, s_i, lab[d_i])
+        np.minimum.at(nxt, d_i, lab[s_i])
+        while True:  # pointer-jump to per-round fixpoint
+            jumped = nxt[nxt]
+            if np.array_equal(jumped, nxt):
+                break
+            nxt = jumped
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    import pandas as pd
+
+    out = pd.DataFrame({"id": uniq, "cluster_id": uniq[lab]})
+    id_type = sym.schema["s"].dataType
+    return sym.sparkSession.createDataFrame(
+        out, schema=f"id {id_type.simpleString()}, cluster_id {id_type.simpleString()}"
+    )
 
 
 def connected_components(
@@ -41,10 +88,14 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iterations: int = 60,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Return (id, cluster_id) for every vertex appearing in `edges`.
 
-    cluster_id = min vertex id in the component.
+    cluster_id = min vertex id in the component. Edge sets at or below
+    ``driver_max_edges`` (counted exactly on the materialized frame)
+    solve driver-side (module docstring "Plan choice"); pass 0 to force
+    the distributed loop.
     """
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -52,6 +103,19 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    if driver_max_edges:
+        n_sym = sym.count()
+        if n_sym <= 2 * driver_max_edges:
+            _log.info(
+                "connected_components: %d symmetric edges <= %d — driver NumPy path",
+                n_sym,
+                2 * driver_max_edges,
+            )
+            return _driver_components(sym)
+        _log.info(
+            "connected_components: %d symmetric edges — distributed loop", n_sym
+        )
 
     labels = (
         sym.select(F.col("s").alias("id"))

@@ -113,3 +113,19 @@ def test_frequent_items_no_single_task_funnel(spark):
     for r in rows:
         want = sum(1 for i in range(int(r.item), 20000, 37) if i % 5 == r.k)
         assert r.est_count == want
+
+
+def test_decontamination_broadcasts_bench_no_gram_shuffle(spark):
+    """benchmark_ngram_overlap: the benchmark gram set must broadcast
+    (eval suites are MBs vs a TB corpus) and the corpus must never
+    shuffle keyed on n-gram — per-doc dedupe happens in-row via
+    array_distinct, so the only wide exchanges are the tiny bench
+    distinct and the per-doc count agg (keyed by doc id)."""
+    plan = _plan(spark, "benchmark_decontamination")
+    assert "BroadcastExchange" in plan, plan[:1500]
+    # exactly ONE exchange partitions on the gram column `g` — the
+    # tiny bench-side distinct. A second would mean the CORPUS grams
+    # shuffled (the in-row array_distinct exists to prevent exactly
+    # that); the per-doc agg and final id join shuffle on doc_id only.
+    assert len(re.findall(r"hashpartitioning\(g#", plan)) <= 1, plan[:2000]
+    assert "CartesianProduct" not in plan

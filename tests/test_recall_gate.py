@@ -66,3 +66,35 @@ def test_planted_truth_quality(spark_table, table):
     out = near_dup_multimodal_clusters(spark_table).toPandas()
     recall = pair_recall(out[["id", "cluster_id"]], table.truth)
     assert recall >= 0.99, f"planted-truth recall {recall}"
+
+
+def test_cc_driver_path_equals_distributed(spark):
+    """The selectivity-gated driver NumPy path must produce exactly the
+    distributed loop's labeling (min id per component) — on chains,
+    triangles, isolated pairs, for long AND string vertex ids."""
+    import pandas as pd
+
+    from datasketches_rust_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)]
+    for typ, conv in (("long", int), ("string", lambda v: f"v{v:03d}")):
+        df = spark.createDataFrame(
+            [(conv(a), conv(b)) for a, b in edges], f"a {typ}, b {typ}"
+        )
+        via_driver = (
+            connected_components(df).toPandas().sort_values("id").reset_index(drop=True)
+        )
+        via_loop = (
+            connected_components(df, driver_max_edges=0)
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(via_driver, via_loop)
+        want_clusters = {conv(0): [0, 1, 2, 3], conv(10): [10, 11, 12], conv(20): [20, 21]}
+        got = dict(zip(via_driver["id"], via_driver["cluster_id"]))
+        for root, members in want_clusters.items():
+            for m in members:
+                assert got[conv(m)] == root
