@@ -21,7 +21,15 @@
   — re-aggregation of pre-sketched rollups;
 * ``tdigest_agg(value)``       — GROUPED_AGG t-digest builder
   (family-20 wire blob); ``tdigest_quantile(blob, q)`` /
-  ``tdigest_rank(blob, x)`` — scalar queries over the blob.
+  ``tdigest_rank(blob, x)`` — scalar queries over the blob;
+* ``bloom_agg(item)`` / ``bloom_union_agg(blob)`` /
+  ``bloom_contains(blob, item)`` — family-21 membership surface;
+* ``countmin_agg(item, weight)`` / ``countmin_union_agg(blob)`` /
+  ``countmin_estimate(blob, item)`` — family-18 weighted counts;
+* ``frequent_items_agg(item)`` / ``frequent_items_union_agg(blob)`` /
+  ``frequencies_estimate(blob, item)`` — family-10 heavy hitters.
+  (Configs fixed at registration for the SQL surface; every knob is
+  available on the DataFrame operators.)
 
 With these, a user can write pure SQL:
 
@@ -188,6 +196,116 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
             )
         return pd.Series(out, dtype="float64", index=blobs.index)
 
+    from .bloom import BloomFilter
+    from .countmin import CountMinSketch
+    from .frequencies import FrequentItemsSketch
+
+    # fixed configs at registration, like the HLL/CPC lg_k above — the
+    # DataFrame operators expose every knob; the SQL surface trades
+    # per-call config for composability in pure SQL
+    bloom_max_items, bloom_fpp = 100_000, 1e-6
+    cm_hashes, cm_buckets = 5, 2048
+    fi_map_size = 256
+
+    @pandas_udf("binary")
+    def bloom_agg(vals: pd.Series) -> bytes:
+        bf = BloomFilter.with_accuracy(bloom_max_items, bloom_fpp)
+        items = vals.dropna().tolist()
+        if items:
+            bf.insert_batch(items)
+        return bf.serialize()
+
+    @pandas_udf("binary")
+    def bloom_union_agg(blobs: pd.Series) -> bytes:
+        s = None
+        for b in blobs.dropna():
+            part = BloomFilter.deserialize(bytes(b))
+            s = part if s is None else s.union(part)
+        if s is None:
+            s = BloomFilter.with_accuracy(bloom_max_items, bloom_fpp)
+        return s.serialize()
+
+    @pandas_udf("boolean")
+    def bloom_contains(blobs: pd.Series, items: pd.Series) -> pd.Series:
+        out = []
+        for b, it in zip(blobs, items):
+            out.append(
+                None
+                if b is None or it is None
+                else bool(BloomFilter.deserialize(bytes(b)).contains(it))
+            )
+        return pd.Series(out, dtype="object", index=blobs.index)
+
+    @pandas_udf("binary")
+    def countmin_agg(items: pd.Series, weights: pd.Series) -> bytes:
+        cm = CountMinSketch(cm_hashes, cm_buckets)
+        mask = items.notna()
+        vals = items[mask]
+        if len(vals):
+            cm.update_batch(
+                vals.tolist(), weights[mask].to_numpy(np.int64)
+            )
+        return cm.serialize()
+
+    @pandas_udf("binary")
+    def countmin_union_agg(blobs: pd.Series) -> bytes:
+        s = None
+        for b in blobs.dropna():
+            part = CountMinSketch.deserialize(bytes(b))
+            s = part if s is None else s.merge(part)
+        if s is None:
+            s = CountMinSketch(cm_hashes, cm_buckets)
+        return s.serialize()
+
+    @pandas_udf("long")
+    def countmin_estimate(blobs: pd.Series, items: pd.Series) -> pd.Series:
+        out = []
+        for b, it in zip(blobs, items):
+            out.append(
+                None
+                if b is None or it is None
+                else int(CountMinSketch.deserialize(bytes(b)).estimate(it))
+            )
+        return pd.Series(out, dtype="object", index=blobs.index)
+
+    @pandas_udf("binary")
+    def frequent_items_agg(vals: pd.Series) -> bytes:
+        sk = FrequentItemsSketch(fi_map_size)
+        clean = vals.dropna()
+        if len(clean):
+            sk.update_batch(clean)
+        return sk.serialize()
+
+    @pandas_udf("binary")
+    def frequent_items_union_agg(blobs: pd.Series) -> bytes:
+        s = None
+        for b in blobs.dropna():
+            part = FrequentItemsSketch.deserialize(bytes(b))
+            s = part if s is None else s.merge(part)
+        if s is None:
+            s = FrequentItemsSketch(fi_map_size)
+        return s.serialize()
+
+    @pandas_udf("long")
+    def frequencies_estimate(blobs: pd.Series, items: pd.Series) -> pd.Series:
+        out = []
+        for b, it in zip(blobs, items):
+            out.append(
+                None
+                if b is None or it is None
+                else int(FrequentItemsSketch.deserialize(bytes(b)).estimate(it))
+            )
+        return pd.Series(out, dtype="object", index=blobs.index)
+
+    spark.udf.register("bloom_agg", bloom_agg)
+    spark.udf.register("bloom_union_agg", bloom_union_agg)
+    spark.udf.register("bloom_contains", bloom_contains)
+    spark.udf.register("countmin_agg", countmin_agg)
+    spark.udf.register("countmin_union_agg", countmin_union_agg)
+    spark.udf.register("countmin_estimate", countmin_estimate)
+    spark.udf.register("frequent_items_agg", frequent_items_agg)
+    spark.udf.register("frequent_items_union_agg", frequent_items_union_agg)
+    spark.udf.register("frequencies_estimate", frequencies_estimate)
     spark.udf.register("theta_sketch_agg", theta_sketch_agg)
     spark.udf.register("theta_union_agg", theta_union_agg)
     spark.udf.register("theta_estimate", theta_estimate)

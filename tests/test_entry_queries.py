@@ -364,3 +364,59 @@ def test_hll_cpc_partial_stage_one_row_per_key_per_partition(spark):
     for k in range(nkeys):
         assert abs(hll[k] - 997) / 997 < 0.03
         assert abs(cpc[k] - 997) / 997 < 0.03
+
+
+def test_sql_registry_bloom_countmin_frequencies(spark):
+    """The remaining SQL families (round 3): bloom membership,
+    count-min weighted counts, Misra-Gries heavy hitters — grouped
+    builders, rollup re-union, scalar queries over blobs. All in exact
+    regimes so the answers are deterministic."""
+    from datasketches_rust_spark.functions.sql_registry import register_sql_functions
+
+    register_sql_functions(spark)
+    spark.range(0, 3000).selectExpr(
+        "id % 3 AS k", "CAST(id % 500 AS STRING) AS item", "CAST(1 + id % 7 AS BIGINT) AS w"
+    ).createOrReplaceTempView("t_sql_fam2")
+
+    # bloom: rollup union of per-key filters contains every inserted
+    # item and (at fpp 1e-6 over 500 items) no probed absent item
+    rows = spark.sql(
+        """WITH per_k AS (SELECT k, bloom_agg(item) AS bf FROM t_sql_fam2 GROUP BY k),
+             g AS (SELECT bloom_union_agg(bf) AS bf FROM per_k)
+           SELECT bloom_contains(bf, '123') AS hit,
+                  bloom_contains(bf, 'absent-item') AS miss FROM g"""
+    ).collect()
+    assert rows[0].hit is True and rows[0].miss is False
+
+    # countmin: exact in a collision-free regime — weighted count of
+    # item '7' equals the SQL SUM over the same predicate
+    (est,) = spark.sql(
+        """WITH per_k AS (SELECT k, countmin_agg(item, w) AS cm
+                          FROM t_sql_fam2 GROUP BY k)
+           SELECT countmin_estimate(countmin_union_agg(cm), '7') AS e FROM per_k"""
+    ).first()
+    (want,) = spark.sql(
+        "SELECT CAST(SUM(w) AS BIGINT) FROM t_sql_fam2 WHERE item = '7'"
+    ).first()
+    assert est == want
+
+    # frequencies: distinct items (500) > map budget triggers purges,
+    # but a planted dominant item's estimate bounds still bracket its
+    # true count (Misra-Gries guarantee)
+    spark.sql(
+        """SELECT CAST(id AS STRING) AS item FROM range(2000)
+           UNION ALL SELECT 'dominant' FROM range(800)"""
+    ).createOrReplaceTempView("t_heavy")
+    (est_d,) = spark.sql(
+        """SELECT frequencies_estimate(frequent_items_agg(item), 'dominant')
+           FROM t_heavy"""
+    ).first()
+    assert est_d >= 800  # upper-biased estimate can't undercount
+
+    # NULL blob / NULL item safety on the scalar surface
+    row = spark.sql(
+        """SELECT bloom_contains(CAST(NULL AS BINARY), 'x') AS a,
+                  countmin_estimate(CAST(NULL AS BINARY), 'x') AS b,
+                  frequencies_estimate(CAST(NULL AS BINARY), 'x') AS c"""
+    ).first()
+    assert row.a is None and row.b is None and row.c is None
