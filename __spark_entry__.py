@@ -384,6 +384,19 @@ def _q_top_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_token_stats(docs, "doc_id", "text")
 
 
+def _q_incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: docs with doc_id >= 250 stand in for
+    today's batch, the rest for the already-ingested index; output is
+    the exact cross-set Jaccard pairs at threshold 0.5 (strictly
+    new×index — never new×new or index×index)."""
+    from datasketches_rust_spark.operators.textstats import crossset_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") >= 250)
+    index = docs.filter(F.col("doc_id") < 250)
+    return crossset_jaccard_pairs(new, index, "doc_id", "text", threshold=0.5)
+
+
 def _q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """13-gram benchmark-overlap decontamination: every 50th document
     stands in for the eval benchmark; overlaps catch the benchmark
@@ -712,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_split": _q_documents_split,
         "contamination_flags": _q_contamination_flags,
         "benchmark_decontamination": _q_benchmark_decontamination,
+        "incremental_dedup_pairs": _q_incremental_dedup_pairs,
         "ann_topk_embeddings": _q_ann_topk_embeddings,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -1002,6 +1016,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(c) AS BIGINT) AS top_token_count,
                    MAX(c)::DOUBLE / SUM(c)::DOUBLE AS top_token_frac
             FROM cnt GROUP BY doc_id
+        """,
+        "incremental_dedup_pairs": """
+            WITH tok_arrays AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+                FROM documents
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(arr) >= 3
+                            THEN arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                            ELSE array_to_string(arr, ' ') END AS tok
+                FROM tok_arrays,
+                     UNNEST(CASE WHEN len(arr) >= 3
+                                 THEN range(1, len(arr) - 1)
+                                 ELSE [1] END) AS t(i)
+                WHERE CASE WHEN len(arr) >= 3
+                           THEN arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                           ELSE array_to_string(arr, ' ') END <> ''
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS new_id, y.doc_id AS index_id, COUNT(*) AS inter
+                FROM toks x JOIN toks y ON x.tok = y.tok
+                WHERE x.doc_id >= 250 AND y.doc_id < 250
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT new_id, index_id,
+                   inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = new_id
+            JOIN sizes sb ON sb.doc_id = index_id
+            WHERE inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE >= 0.5
         """,
         "benchmark_decontamination": """
             WITH tok_arrays AS (

@@ -285,6 +285,75 @@ def top_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def crossset_jaccard_pairs(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental corpus dedup: exact word-3-gram-shingle Jaccard
+    pairs between a NEW document batch and an existing INDEX — the
+    production shape of near-dup detection (today's crawl against the
+    corpus already ingested), the batch analog of the streaming
+    delta-banding hook (`streaming/incremental.py`). Same shingle
+    convention as :func:`ngram_jaccard_pairs` (< 3 tokens → one
+    whole-text shingle), but the shingle join is STRICTLY cross-set:
+    new×new and index×index pairs are never generated, so a daily
+    batch joins in O(|new| × collision rate), not O(|corpus|²) — at
+    10^12 indexed docs the index side's per-shingle posting lists are
+    the only thing the new batch touches.
+    Returns (new_id, index_id, jaccard).
+    """
+    from ..session import ensure_min_partitions
+
+    def toks_of(df: DataFrame) -> DataFrame:
+        arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        base = ensure_min_partitions(
+            df.select(F.col(id_col).alias("_id"), arr.alias("_arr"))
+        )
+        shingle_arr = F.when(
+            F.size("_arr") >= 3,
+            F.expr(
+                "transform(sequence(0, size(_arr) - 3),"
+                " i -> concat_ws(' ', slice(_arr, i + 1, 3)))"
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", F.col("_arr"))))
+        return (
+            base.select("_id", F.explode(shingle_arr).alias("tok"))
+            .filter(F.col("tok") != "")
+            .distinct()
+        )
+
+    new_toks = toks_of(new_df).localCheckpoint(eager=True)
+    idx_toks = toks_of(index_df).localCheckpoint(eager=True)
+    new_sizes = new_toks.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    idx_sizes = idx_toks.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        new_toks.alias("x")
+        .join(idx_toks.alias("y"), on="tok")
+        .groupBy(F.col("x._id").alias("new_id"), F.col("y._id").alias("index_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            new_sizes.withColumnRenamed("_id", "new_id").withColumnRenamed("n", "na"),
+            on="new_id",
+        )
+        .join(
+            idx_sizes.withColumnRenamed("_id", "index_id").withColumnRenamed("n", "nb"),
+            on="index_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("new_id", "index_id", "jaccard")
+    )
+
+
 def benchmark_ngram_overlap(
     df: DataFrame,
     id_col: str,
