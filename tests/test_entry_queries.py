@@ -420,3 +420,33 @@ def test_sql_registry_bloom_countmin_frequencies(spark):
                   frequencies_estimate(CAST(NULL AS BINARY), 'x') AS c"""
     ).first()
     assert row.a is None and row.b is None and row.c is None
+
+
+def test_crossset_jaccard_pairs_edges(spark):
+    """Cross-set dedup edge cases the parquet oracle can't reach:
+    short docs (< 3 tokens) fall back to one whole-text shingle and
+    only match exact-normalized twins; pairs are strictly new x index
+    (never within-side); empty new batch yields zero rows."""
+    from datasketches_rust_spark.operators.textstats import crossset_jaccard_pairs
+
+    index = spark.createDataFrame(
+        [(1, "big data"), (2, "the quick brown fox jumps"), (3, "BIG   DATA")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "big data"), (11, "the quick brown fox leaps"), (12, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.new_id, r.index_id): r.jaccard
+        for r in crossset_jaccard_pairs(new, index, "doc_id", "text", 0.4).collect()
+    }
+    # whole-text shingle: 'big data' matches both 1 and (normalized) 3
+    assert got[(10, 1)] == 1.0 and got[(10, 3)] == 1.0
+    # 3 shared trigrams of 'the quick brown fox *': J = 2/4
+    assert abs(got[(11, 2)] - 0.5) < 1e-12
+    assert (12, 1) not in got and all(k[0] >= 10 for k in got)
+    empty = crossset_jaccard_pairs(
+        new.filter("doc_id < 0"), index, "doc_id", "text", 0.1
+    )
+    assert empty.count() == 0
