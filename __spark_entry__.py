@@ -81,6 +81,25 @@ def _q_neardup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup metrics (the north rule's per-stage metrics table,
+    driver-checked): document count, cluster count, duplicates removed
+    by keep-one-per-cluster, and the duplicate fraction — computed off
+    the same exact-Jaccard clustering the `neardup_clusters_exact`
+    oracle value-checks."""
+    clusters = _q_neardup_clusters_exact(spark, sf_dir)
+    return clusters.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        (F.count(F.lit(1)) - F.countDistinct("cluster_id")).alias("n_duplicates"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("cluster_id")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
 def _q_theta_distinct_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _read(spark, sf_dir, "customer")
     out = theta_distinct_by_key(cust, "c_nationkey", "c_custkey", ThetaConfig(lg_k=15))
@@ -701,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "neardup_text_clusters": _q_neardup_text_clusters,
         "neardup_clusters_exact": _q_neardup_clusters_exact,
+        "dedup_summary": _q_dedup_summary,
         "theta_distinct_by_nation": _q_theta_distinct_by_nation,
         "theta_union_orders": _q_theta_union_orders,
         "theta_intersect_even_odd": _q_theta_intersect_even_odd,
@@ -931,6 +951,54 @@ def oracle_sql() -> dict[str, str]:
                 END AS predicted_lang,
                 greatest(score_en, score_de, score_fr, score_es)::BIGINT AS best_score
             FROM scored
+        """,
+        "dedup_summary": """
+            WITH RECURSIVE tok_arrays AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+                FROM documents
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(arr) >= 3
+                            THEN arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                            ELSE array_to_string(arr, ' ') END AS tok
+                FROM tok_arrays,
+                     UNNEST(CASE WHEN len(arr) >= 3
+                                 THEN range(1, len(arr) - 1)
+                                 ELSE [1] END) AS t(i)
+                WHERE CASE WHEN len(arr) >= 3
+                           THEN arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                           ELSE array_to_string(arr, ' ') END <> ''
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+                FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            ),
+            pairs AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON sa.doc_id = a
+                JOIN sizes sb ON sb.doc_id = b
+                WHERE inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE >= 0.5
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+            clusters AS (
+                SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+                   CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT)
+                       AS n_duplicates,
+                   ROUND((COUNT(*) - COUNT(DISTINCT cluster_id))::DOUBLE
+                       / COUNT(*)::DOUBLE, 6) AS dup_frac
+            FROM clusters
         """,
         # image-invariant oracles: the Spark side computes the booleans
         # from real decoded pixels (mapInPandas); the oracle pins the
