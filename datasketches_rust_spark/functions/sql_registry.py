@@ -183,7 +183,9 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
         out = []
         for b, q in zip(blobs, qs):
             out.append(
-                None if b is None else TDigest.deserialize(bytes(b)).quantile(float(q))
+                None
+                if b is None or q is None or pd.isna(q)
+                else TDigest.deserialize(bytes(b)).quantile(float(q))
             )
         return pd.Series(out, dtype="float64", index=blobs.index)
 
@@ -192,7 +194,9 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
         out = []
         for b, x in zip(blobs, xs):
             out.append(
-                None if b is None else TDigest.deserialize(bytes(b)).rank(float(x))
+                None
+                if b is None or x is None or pd.isna(x)
+                else TDigest.deserialize(bytes(b)).rank(float(x))
             )
         return pd.Series(out, dtype="float64", index=blobs.index)
 
@@ -239,12 +243,13 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
     @pandas_udf("binary")
     def countmin_agg(items: pd.Series, weights: pd.Series) -> bytes:
         cm = CountMinSketch(cm_hashes, cm_buckets)
-        mask = items.notna()
+        # drop rows where EITHER side is null: a NaN weight surviving
+        # to .to_numpy(np.int64) silently becomes INT64_MIN and
+        # corrupts every bucket the item hashes to
+        mask = items.notna() & weights.notna()
         vals = items[mask]
         if len(vals):
-            cm.update_batch(
-                vals.tolist(), weights[mask].to_numpy(np.int64)
-            )
+            cm.update_batch(vals.tolist(), weights[mask].to_numpy(np.int64))
         return cm.serialize()
 
     @pandas_udf("binary")
@@ -274,7 +279,11 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
         clean = vals.dropna()
         if len(clean):
             sk.update_batch(clean)
-        return sk.serialize()
+        # the SQL surface is stringly-typed end-to-end: union and
+        # estimate deserialize as 'str', so the agg must serialize as
+        # 'str' too (leaving serialize() to infer 'i64' from an int
+        # column made the blob unreadable by the other two functions)
+        return sk.serialize("str")
 
     @pandas_udf("binary")
     def frequent_items_union_agg(blobs: pd.Series) -> bytes:
@@ -284,7 +293,7 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
             s = part if s is None else s.merge(part)
         if s is None:
             s = FrequentItemsSketch(fi_map_size)
-        return s.serialize()
+        return s.serialize("str")
 
     @pandas_udf("long")
     def frequencies_estimate(blobs: pd.Series, items: pd.Series) -> pd.Series:
@@ -293,7 +302,9 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
             out.append(
                 None
                 if b is None or it is None
-                else int(FrequentItemsSketch.deserialize(bytes(b)).estimate(it))
+                else int(
+                    FrequentItemsSketch.deserialize(bytes(b)).estimate(str(it))
+                )
             )
         return pd.Series(out, dtype="object", index=blobs.index)
 

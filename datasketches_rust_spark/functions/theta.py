@@ -313,7 +313,9 @@ class ThetaSketch:
                 (theta,) = struct.unpack_from("<Q", data, off)
                 off += 8
         entries = ThetaSketch._read_entries(data, off, n, theta, cfg)
-        if n > 1 and (np.diff(entries.view(np.uint64)) <= 0).any():
+        # direct comparison, not np.diff: an unsigned diff of a
+        # DECREASING pair wraps to a huge positive and never fires
+        if n > 1 and (entries[1:] <= entries[:-1]).any():
             raise ValueError("theta entries not strictly increasing")
         return ThetaSketch(entries, int(theta), seed_hash, cfg.k)
 
@@ -341,10 +343,12 @@ class ThetaSketch:
         entries = np.cumsum(deltas, dtype=np.uint64)
         if len(entries) and ((entries == 0).any() or (entries >= theta).any()):
             raise ValueError("theta entry out of range (0, theta)")
-        # a zero delta (corrupt blob) yields duplicate entries that pass
-        # the range check but violate the sorted-distinct invariant
-        # union/intersect/estimate rely on — mirror the v3 check
-        if len(entries) > 1 and (np.diff(entries.view(np.uint64)) <= 0).any():
+        # a zero delta (corrupt blob) yields duplicate entries, and a
+        # near-2^64 delta wraps cumsum into a DECREASING pair that an
+        # unsigned np.diff would miss — both pass the range check but
+        # violate the sorted-distinct invariant union/intersect/estimate
+        # rely on; direct comparison catches both
+        if len(entries) > 1 and (entries[1:] <= entries[:-1]).any():
             raise ValueError("theta entries not strictly increasing")
         return ThetaSketch(entries, int(theta), seed_hash, cfg.k)
 

@@ -367,7 +367,9 @@ def frequent_items_by_count(
             # and it pins the wire item-type so the merge side decodes
             # with the same specialization (family-10 blobs carry no
             # type tag, exactly like the reference's generic T)
-            sk.update_batch(pdf[item_col].astype(str))
+            clean = pdf[item_col].dropna()
+            if len(clean):
+                sk.update_batch(clean.astype(str))
         yield pd.DataFrame({"sketch": [sk.serialize(item_type="str")]})
 
     partials = df.select(item_col).mapInPandas(partial, "sketch binary")
@@ -410,7 +412,12 @@ def frequent_items_by_key(
                 sk = acc.get(k)
                 if sk is None:
                     sk = acc[k] = FrequentItemsSketch(max_map_size)
-                sk.update_batch(vals.astype(str))
+                # dropna BEFORE astype(str): a NULL item would otherwise
+                # be counted as the literal string 'None'/'nan' —
+                # GROUP BY semantics never count NULL
+                clean = vals.dropna()
+                if len(clean):
+                    sk.update_batch(clean.astype(str))
         yield pd.DataFrame(
             {
                 key_col: list(acc.keys()),
@@ -519,8 +526,15 @@ def countmin_weights_by_key(
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cm = CountMinSketch(num_hashes, num_buckets)
         for pdf in batches:
-            vals = pdf[key_col].to_numpy()
-            w = pdf[weight_col].to_numpy(np.int64)
+            # drop rows where either side is null: a NaN weight would
+            # silently cast to INT64_MIN and corrupt every bucket the
+            # key hashes to; NULL keys are never counted (GROUP BY
+            # semantics)
+            mask = pdf[key_col].notna() & pdf[weight_col].notna()
+            if not mask.any():
+                continue
+            vals = pdf.loc[mask, key_col].to_numpy()
+            w = pdf.loc[mask, weight_col].to_numpy(np.int64)
             cm.update_batch(list(vals), w)
         yield pd.DataFrame({"sketch": [cm.serialize()]})
 
@@ -688,9 +702,19 @@ class _CouponAccumulator:
 
 
 def _typed_coupons(vals: pd.Series, coupons_u64s, coupons_bytes) -> np.ndarray:
+    """Typed item dispatch for the HLL/CPC coupon kernels — the same
+    contract as the theta surface and the SQL registry's _typed_update:
+    ints via the u64 path, floats via canonical_double → u64 bit
+    pattern (the reference's ``update_f64``), NOT str(v), so sketches
+    built over the same float column on any surface carry identical
+    coupons and union correctly."""
+    from ..hashes import canonical_double
+
     arr = vals.dropna().to_numpy()
     if arr.dtype.kind in ("i", "u"):
         return coupons_u64s(arr.astype(np.int64).view(np.uint64))
+    if arr.dtype.kind == "f":
+        return coupons_u64s(canonical_double(arr.astype(np.float64)))
     return coupons_bytes([str(v).encode("utf-8") for v in arr])
 
 

@@ -22,6 +22,34 @@ LANG_MARKERS = {
 }
 
 
+def _distinct_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (``_id``, ``tok``) word-3-gram shingle frame — THE
+    shingle convention shared by in-set (:func:`ngram_jaccard_pairs`)
+    and cross-set (:func:`crossset_jaccard_pairs`) exact Jaccard, and
+    mirrored verbatim by their DuckDB oracles: texts with < 3 tokens
+    contribute one whole-text shingle (the MinHash kernel's convention,
+    functions/minhash.py). One definition so a tokenizer change can
+    never desynchronize the two operators."""
+    from ..session import ensure_min_partitions
+
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = ensure_min_partitions(
+        df.select(F.col(id_col).alias("_id"), arr.alias("_arr"))
+    )
+    shingle_arr = F.when(
+        F.size("_arr") >= 3,
+        F.expr(
+            "transform(sequence(0, size(_arr) - 3),"
+            " i -> concat_ws(' ', slice(_arr, i + 1, 3)))"
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("_arr"))))
+    return (
+        base.select("_id", F.explode(shingle_arr).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -49,23 +77,10 @@ def ngram_jaccard_pairs(
     default) keeps exactness.
     Returns (a, b, jaccard).
     """
-    from ..session import ensure_min_partitions
-
-    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    base = ensure_min_partitions(df.select(F.col(id_col).alias("_id"), arr.alias("_arr")))
-    shingle_arr = F.when(
-        F.size("_arr") >= 3,
-        F.expr("transform(sequence(0, size(_arr) - 3), i -> concat_ws(' ', slice(_arr, i + 1, 3)))"),
-    ).otherwise(F.array(F.concat_ws(" ", F.col("_arr"))))
     # checkpointed: the shingle frame feeds BOTH sides of the self-join
     # plus the set-size agg (and optionally the DF-cap agg) — without
     # it the tokenize+explode+distinct subtree recomputes per consumer
-    toks = (
-        base.select("_id", F.explode(shingle_arr).alias("tok"))
-        .filter(F.col("tok") != "")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    toks = _distinct_shingles(df, id_col, text_col).localCheckpoint(eager=True)
     if max_doc_freq is not None:
         import logging
 
@@ -305,28 +320,12 @@ def crossset_jaccard_pairs(
     the only thing the new batch touches.
     Returns (new_id, index_id, jaccard).
     """
-    from ..session import ensure_min_partitions
-
-    def toks_of(df: DataFrame) -> DataFrame:
-        arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        base = ensure_min_partitions(
-            df.select(F.col(id_col).alias("_id"), arr.alias("_arr"))
-        )
-        shingle_arr = F.when(
-            F.size("_arr") >= 3,
-            F.expr(
-                "transform(sequence(0, size(_arr) - 3),"
-                " i -> concat_ws(' ', slice(_arr, i + 1, 3)))"
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", F.col("_arr"))))
-        return (
-            base.select("_id", F.explode(shingle_arr).alias("tok"))
-            .filter(F.col("tok") != "")
-            .distinct()
-        )
-
-    new_toks = toks_of(new_df).localCheckpoint(eager=True)
-    idx_toks = toks_of(index_df).localCheckpoint(eager=True)
+    new_toks = _distinct_shingles(new_df, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    idx_toks = _distinct_shingles(index_df, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     new_sizes = new_toks.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     idx_sizes = idx_toks.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (

@@ -48,9 +48,7 @@ def ensure_min_partitions(df, target: int | None = None):
     sf0.1). Big inputs (>= cores partitions, the 100 TB case) pass
     through untouched, so there is no added shuffle at scale.
     """
-    target = target or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    df, _ = ensure_min_partitions_counted(df, target)
     return df
 
 

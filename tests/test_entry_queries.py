@@ -450,3 +450,67 @@ def test_crossset_jaccard_pairs_edges(spark):
         new.filter("doc_id < 0"), index, "doc_id", "text", 0.1
     )
     assert empty.count() == 0
+
+
+def test_sql_registry_null_and_type_hardening(spark):
+    """Round-3 review fixes: (a) frequent_items SQL family is
+    stringly-typed end-to-end, so an INTEGER item column round-trips
+    agg → union → estimate; (b) a NULL weight row must not corrupt the
+    count-min sketch (NaN → INT64_MIN); (c) tdigest_quantile/rank
+    return NULL for NULL q/x instead of killing the task."""
+    from datasketches_rust_spark.functions.sql_registry import register_sql_functions
+
+    register_sql_functions(spark)
+    # (a) int items through the frequencies SQL surface
+    (est,) = spark.sql(
+        """SELECT frequencies_estimate(frequent_items_union_agg(sk), '7')
+           FROM (SELECT id % 4 AS k, frequent_items_agg(id % 10) AS sk
+                 FROM range(1000) GROUP BY 1)"""
+    ).first()
+    assert est == 100
+    # (b) NULL weight rows are dropped, not cast to INT64_MIN
+    (cm_est,) = spark.sql(
+        """SELECT countmin_estimate(countmin_agg(item, w), 'x') FROM (
+             SELECT 'x' AS item, 5 AS w
+             UNION ALL SELECT 'x', NULL
+             UNION ALL SELECT 'x', 3)"""
+    ).first()
+    assert cm_est == 8
+    # (c) NULL quantile/rank arguments yield SQL NULL
+    row = spark.sql(
+        """SELECT tdigest_quantile(td, CAST(NULL AS DOUBLE)) AS q,
+                  tdigest_rank(td, CAST(NULL AS DOUBLE)) AS r
+           FROM (SELECT tdigest_agg(CAST(id AS DOUBLE)) AS td FROM range(100))"""
+    ).first()
+    assert row.q is None and row.r is None
+
+
+def test_float_hash_parity_hll_dataframe_vs_sql(spark):
+    """Review fix: the DataFrame HLL/CPC coupon path hashes floats via
+    canonical_double → u64 exactly like the SQL surface — per-key
+    sketches over a double column must agree with COUNT(DISTINCT) and
+    with the SQL aggregate's estimate."""
+    from datasketches_rust_spark.operators.sketch_aggs import hll_distinct_by_key
+
+    df = spark.range(0, 3000).selectExpr(
+        "id % 3 AS k", "CAST((id % 500) / 4.0 AS DOUBLE) AS v"
+    )
+    got = {
+        r.k: r.hll_estimate
+        for r in hll_distinct_by_key(df, "k", "v", lg_k=14).collect()
+    }
+    # every key holds the same 500 float values -> identical registers
+    # -> the DataFrame estimate must EQUAL one built directly through
+    # canonical_double (the reference's update_f64 path); str(v)
+    # hashing would diverge
+    import numpy as np
+
+    from datasketches_rust_spark.functions.hll import HllSketch
+    from datasketches_rust_spark.hashes import canonical_double
+
+    ref = HllSketch(14, out_of_order=True)
+    vals = np.array([(i % 500) / 4.0 for i in range(500)], np.float64)
+    ref.update_u64s(canonical_double(vals))
+    for k in range(3):
+        assert got[k] == ref.estimate(), (got, ref.estimate())
+        assert abs(got[k] / 500.0 - 1.0) < 0.02
