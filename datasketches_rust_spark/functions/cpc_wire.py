@@ -305,6 +305,10 @@ def uncompress_pairs(words: np.ndarray, num_pairs: int, base_bits: int) -> np.nd
             pred_col = 0
         row = pred_row + y_delta
         col = pred_col + x_delta
+        if col > 63:
+            # (row << 6) | col would bleed column bits into the row on a
+            # corrupt blob and could alias to a valid matrix
+            raise ValueError(f"CPC pair column {col} out of range (corrupt blob)")
         out[i] = (row << 6) | col
         pred_row = row
         pred_col = col + 1

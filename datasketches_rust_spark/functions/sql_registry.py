@@ -278,7 +278,10 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
         sk = FrequentItemsSketch(fi_map_size)
         clean = vals.dropna()
         if len(clean):
-            sk.update_batch(clean)
+            # stringify to match the str-pinned wire type below: an
+            # int-keyed partial merged with a str-keyed one would
+            # double-count under distinct dict keys
+            sk.update_batch(clean.astype(str))
         # the SQL surface is stringly-typed end-to-end: union and
         # estimate deserialize as 'str', so the agg must serialize as
         # 'str' too (leaving serialize() to infer 'i64' from an int

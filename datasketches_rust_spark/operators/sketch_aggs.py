@@ -27,6 +27,12 @@ except CountMin/t-digest engine internals (t-digest additionally
 speaks the family-20 wire + tdunning compat, functions/tdigest.py).
 The SHUFFLE path intentionally uses the engine layouts where they are
 smaller/faster (HLL/CPC sparse-coupon or dense, chosen by size).
+
+NULL-key semantics: grouped operators here (``*_by_key``,
+``frequent_items_by_key``) EXCLUDE rows whose key is NULL from the
+output — the pandas partial stage groups with ``dropna=True`` —
+whereas Spark SQL ``GROUP BY`` would keep a NULL group. Filter or
+coalesce NULL keys upstream if that group matters.
 """
 
 from __future__ import annotations
