@@ -11,24 +11,28 @@ whole-stage codegen.
 
 Skew/scale controls (the parts that matter at 10^12 rows):
 
-* **hot-bucket stratification**: a cheap ``count`` pre-pass finds
-  buckets larger than ``max_bucket_size`` (the classic LSH skew
-  failure — millions of identical boilerplate captions in one
-  bucket); the hot-key list is tiny at any scale and is BROADCAST.
-  Normal buckets take the clique path (``collect_set`` is bounded by
-  the cap, so the agg buffer can never blow up an executor); hot
-  buckets take a window ``lead`` chain — consecutive-id pairs, O(m)
-  instead of the O(m²) clique, computed by a partition sort with NO
-  set materialization. This count-then-stratify plan is the exact
-  engineering the SURVEY's frequent-items-driven salting calls for
-  (an exact count pre-pass instead of an MG estimate — same shuffle
-  cost here because the count agg is map-side partial).
+* **hot-bucket stratification**: a ``groupBy`` count (map-side
+  partial combine) sizes every bucket and prunes singletons before
+  joining back; buckets larger than ``max_bucket_size`` (the classic
+  LSH skew failure — millions of identical boilerplate captions in
+  one bucket) leave the clique path. Normal buckets take the clique
+  path (``collect_set`` is bounded by the cap, so the agg buffer can
+  never blow up an executor); hot buckets take a SALTED ``lead``
+  chain — a deterministic id-hash salt splits the bucket into
+  ~cap-row sub-buckets, ids chain within each salt, and one boundary
+  pair per adjacent salt (chained per-salt min ids) preserves
+  connectivity. O(m) pairs like the round-3 chain, but no window
+  partition ever exceeds ~cap rows, so a 10^9-member bucket fans out
+  across the cluster instead of landing on one task.
 * **chain semantics**: the connected components downstream are
   identical as long as chain edges survive verification — over-cap
   text buckets hold rows whose ``rows_per_band`` signature slots all
   collide, i.e. near-certain duplicates, so chained text pairs bypass
   the Jaccard filter (flagged ``chained=1``, never silently dropped,
-  SURVEY.md §7). Image-family chains still verify by exact Hamming.
+  SURVEY.md §7). Image-family chains still verify by exact Hamming
+  (the salted chain proposes a different — equally heuristic — O(m)
+  candidate subset than the unsalted one; exact-dup chains, Hamming
+  0, verify identically either way).
 * **dedup across bands**: the same pair found in b bands is emitted b
   times; one ``groupBy(a, b)`` de-duplicates before the (expensive)
   verification join.
@@ -72,22 +76,34 @@ def _clique_expr():
 def _stratified_pairs(banded: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
     """(bucket_cols…, a, b, chained) candidate pairs with hot-bucket
     stratification (module docstring). ``chained=1`` marks pairs from
-    the over-cap chain path.
+    the over-cap chain path (within-salt chains + salt-boundary links).
 
-    Plan shape: ONE shuffle of the banded frame — a window over the
-    bucket computes each bucket's size in place, and both strata
-    (normal clique / hot chain) filter the same windowed frame, so
-    Spark reuses the exchange instead of re-shuffling the fan-out per
-    stratum. This replaced a count-prepass + broadcast-hot-list plan
-    (3 passes over ``banded`` + an AQE broadcast barrier): identical
-    output, one full shuffle instead of ~2.1 plus a planning barrier —
-    the win holds at any scale, and at 10^12 banded rows it is one
-    fewer full shuffle of the largest intermediate in the pipeline.
-    The hot-bucket ceiling still bounds the ``collect_set`` buffer
-    (every bucket on the clique path has ≤ cap rows by construction).
+    Plan shape (round 4): bucket sizes come from a ``groupBy`` count
+    (map-side partial combine — the shuffle carries one row per
+    distinct bucket, not the fan-out), singleton buckets are pruned,
+    and the pruned sizes frame joins back onto ``banded``. This
+    replaced the round-3 bucket-partitioned window, which co-located
+    every member of a bucket on ONE task — unbounded for a mega-bucket,
+    and unsplittable by AQE. The hot-bucket ceiling still bounds the
+    ``collect_set`` buffer (every bucket on the clique path has ≤ cap
+    rows), and the chain stratum's window partitions are bounded at
+    ~cap rows by the dynamic salt.
     """
-    w_bucket = Window.partitionBy(*bucket_cols)
-    sized = banded.withColumn("_n", F.count(F.lit(1)).over(w_bucket))
+    # Bucket sizing via groupBy (map-side partial combine), NOT a
+    # bucket-partitioned window: a window over the bucket puts every
+    # member of a mega-bucket (10^9 identical boilerplate captions at
+    # 10^12 rows) on ONE task, and AQE cannot split a window partition
+    # (round-3 verdict). Singleton buckets — the vast majority in LSH —
+    # are pruned BEFORE the join back, so the pair stages only ever see
+    # multi-member buckets; at sandbox scale AQE broadcasts the pruned
+    # sizes frame (no shuffle of `banded` at all), at 10^12 it
+    # sort-merge-joins — either way no single-task partition anywhere.
+    sizes = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+    )
+    sized = banded.join(sizes, bucket_cols)
 
     normal = (
         sized.filter(F.col("_n") <= cap)
@@ -98,14 +114,46 @@ def _stratified_pairs(banded: DataFrame, bucket_cols: list[str], cap: int) -> Da
         .select(*bucket_cols, "p.a", "p.b", F.lit(0).alias("chained"))
     )
 
-    w = Window.partitionBy(*bucket_cols).orderBy("_id")
-    chained = (
+    # Over-cap chain stratum, SALTED (round-4): sub-bucket by a
+    # deterministic id-hash salt sized so each salt holds ~cap rows,
+    # chain consecutive ids within each (bucket, salt), then connect
+    # adjacent salts through one boundary pair per salt (the chain of
+    # per-salt min ids). Components are identical to the unsalted
+    # consecutive-id chain — every member stays reachable from every
+    # other — but the window partitions are now O(cap), never O(bucket).
+    hot = (
         sized.filter(F.col("_n") > cap)
-        .select(*bucket_cols, F.col("_id").alias("a"), F.lead("_id").over(w).alias("b"))
+        .withColumn("_nsalts", F.ceil(F.col("_n") / F.lit(cap)).cast("long"))
+        .withColumn("_salt", F.pmod(F.xxhash64("_id"), F.col("_nsalts")))
+    )
+    w = Window.partitionBy(*bucket_cols, "_salt").orderBy("_id")
+    within = (
+        hot.select(
+            *bucket_cols, "_salt",
+            F.col("_id").alias("a"), F.lead("_id").over(w).alias("b"),
+        )
         .filter(F.col("b").isNotNull() & (F.col("a") < F.col("b")))
         .select(*bucket_cols, "a", "b", F.lit(1).alias("chained"))
     )
-    return normal.unionByName(chained)
+    # per-salt representatives: tiny frame (ceil(n/cap) rows per hot
+    # bucket), so the bucket-partitioned boundary window is bounded
+    w_bound = Window.partitionBy(*bucket_cols).orderBy("_salt")
+    boundary = (
+        hot.groupBy(*bucket_cols, "_salt")
+        .agg(F.min("_id").alias("_mid"))
+        .select(
+            *bucket_cols,
+            F.col("_mid").alias("_x"), F.lead("_mid").over(w_bound).alias("_y"),
+        )
+        .filter(F.col("_y").isNotNull() & (F.col("_x") != F.col("_y")))
+        .select(
+            *bucket_cols,
+            F.least("_x", "_y").alias("a"),
+            F.greatest("_x", "_y").alias("b"),
+            F.lit(1).alias("chained"),
+        )
+    )
+    return normal.unionByName(within).unionByName(boundary)
 
 
 def candidate_pairs(banded: DataFrame, cfg: DedupConfig) -> DataFrame:

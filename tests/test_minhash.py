@@ -136,28 +136,55 @@ def test_near_dup_pair_recall_high_jaccard():
     assert (bh[0] == bh[1]).any()
 
 
+def _components(ids, pairs):
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids}
+
+
 def test_candidate_pairs_hot_bucket_stratification(spark):
-    """Over-cap buckets emit sorted chains (O(m), no set
-    materialization); normal buckets emit cliques; pairs seen in both
-    keep the non-chained flag (min wins)."""
+    """Over-cap buckets emit SALTED chains (round 4): O(m) pairs,
+    window partitions bounded at ~cap rows, one connected component
+    per bucket; normal buckets emit cliques; pairs seen in both keep
+    the non-chained flag (min wins)."""
     from datasketches_rust_spark.config import DedupConfig
     from datasketches_rust_spark.operators.lsh import candidate_pairs
 
     cfg = DedupConfig()
     rows = []
-    # hot bucket: 300 ids > cap=256 → chain
-    rows += [(i, 0, 111) for i in range(300)]
+    # hot bucket: 10x the cap → salted chain stratum
+    hot_n = 10 * cfg.max_bucket_size + 7
+    rows += [(i, 0, 111) for i in range(hot_n)]
     # normal bucket: 4 ids → clique (ids overlap the hot bucket)
     rows += [(i, 1, 222) for i in (10, 11, 12, 13)]
     banded = spark.createDataFrame(rows, "_id long, band_id int, band_key long")
     got = candidate_pairs(banded, cfg).toPandas()
     pairs = {(a, b): c for a, b, c in got.itertuples(index=False)}
-    # chain pairs from the hot bucket
-    assert pairs[(0, 1)] == 1 and pairs[(298, 299)] == 1
-    assert (5, 7) not in pairs  # no clique in the hot bucket
-    # full clique from the normal bucket
+    # full clique from the normal bucket, non-chained flag wins
     assert pairs[(10, 12)] == 0 and pairs[(11, 13)] == 0
-    # pairs in both strata → min(chained) = 0
     assert pairs[(10, 11)] == 0 and pairs[(11, 12)] == 0 and pairs[(12, 13)] == 0
-    # 299 chain pairs ∪ 6 clique pairs, 3 overlapping
-    assert len(pairs) == 299 + 6 - 3
+    # the hot bucket contributes O(m) chained pairs, not the O(m^2)
+    # clique: within-salt chains + salt-boundary links
+    chained = [(a, b) for (a, b), c in pairs.items() if c == 1]
+    assert len(pairs) < 2 * hot_n  # far below the ~1.7M clique pairs
+    assert all(c in (0, 1) for c in pairs.values())
+    # connectivity: every hot-bucket member lands in ONE component
+    # (the property CC downstream relies on — identical to the
+    # unsalted chain's components)
+    comp = _components(list(range(hot_n)), chained)
+    assert len(set(comp.values())) == 1
+    # plan property: the chain window partitions by (bucket, _salt) —
+    # a mega-bucket spreads across ~n/cap window partitions instead of
+    # landing on one task
+    plan = candidate_pairs(banded, cfg)._jdf.queryExecution().toString()
+    assert "_salt" in plan
