@@ -348,6 +348,32 @@ def theta_jaccard_groups(
     return df.sparkSession.createDataFrame([(j,)], "jaccard double")
 
 
+def theta_set_ops_groups(
+    df: DataFrame,
+    item_col: str,
+    split_col: str,
+    cfg: ThetaConfig | None = None,
+) -> DataFrame:
+    """Intersection estimate AND Jaccard of a boolean split from ONE
+    two-phase sketch pass (``theta_intersect_groups`` and
+    ``theta_jaccard_groups`` each rebuild the side sketches; callers
+    needing both — the driver surface — should pay for one build).
+    Exact while each side's distinct count ≤ k.
+    Returns (intersection_estimate double, jaccard double)."""
+    from ..functions.theta import jaccard_estimate
+
+    cfg = cfg or ThetaConfig()
+    sides = _merged_side_sketches(df, item_col, split_col, cfg)
+    if len(sides) == 2:
+        est = theta_intersect(sides[0], sides[1]).estimate()
+        j = jaccard_estimate(sides[0], sides[1])
+    else:
+        est, j = 0.0, 0.0
+    return df.sparkSession.createDataFrame(
+        [(est, j)], "intersection_estimate double, jaccard double"
+    )
+
+
 def frequent_items_by_count(
     df: DataFrame, item_col: str, max_map_size: int = 256
 ) -> DataFrame:

