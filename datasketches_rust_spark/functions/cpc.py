@@ -32,9 +32,16 @@ constants, see _cpc_tables.py) below C = 5.6-5.7·k and the exponential
 approximation 0.794·k·2^(C/k) above. ICON's input is only the count of
 distinct (row, col) coupons — exactly popcount(bit matrix) here — so
 it applies to the dense state unchanged. This is the reference's
-*post-merge* estimator; the sequential HIP accumulator
-(`cpc/sketch.rs`) is not ported because every sketch in the Spark
-topology is merged (the reference itself switches to ICON on merge).
+*post-merge* estimator and applies whenever ``merge_flag`` is set —
+i.e. on every sketch in the Spark agg topology.  The sequential HIP
+accumulator (`cpc/sketch.rs:210-338`) IS ported for the single-stream
+``update_*`` path (round 4): an un-merged sketch maintains
+kxp/hip_est_accum/window_offset/first_interesting_column with the
+reference's exact per-coupon schedule (including the every-8th-offset
+kxp refresh, `cpc/sketch.rs:391-411`), reproduces its estimates to
+the last bit, and serializes the HIP block on the wire
+(`tests/test_foreign_fixtures.py` gates byte parity on blobs written
+by the reference crate itself).
 Bounds use the measured kappa tables for lg_k <= 14 and the ln2-based
 constants above (`cpc/estimator.rs:93-212`). Meets the reference's
 own gate: 2% at lg_k=11, n=10k (`cpc_update_test.rs:25,49-62`).
@@ -98,17 +105,45 @@ def _clz64(x: np.ndarray) -> np.ndarray:
     return 64 - bl
 
 
+def _kxp_byte_table() -> list[float]:
+    """`cpc/kxp_byte_lookup.rs`: table[b] = Σ over ZERO bits i of b of
+    2^-(i+1) — all dyadic, so recomputation is exactly the reference
+    constants."""
+    return [
+        sum(2.0 ** -(i + 1) for i in range(8) if not (b >> i) & 1) for b in range(256)
+    ]
+
+
+_KXP_BYTE = _kxp_byte_table()
+_INV_POW2 = [2.0**-i for i in range(65)]  # INVERSE_POWERS_OF_2
+
+
 @dataclass
 class CpcSketch:
     lg_k: int = 11
     seed: int = DEFAULT_UPDATE_SEED
     matrix: np.ndarray = field(default=None)  # uint64, length k
+    # -- HIP state (`cpc/sketch.rs:81-127`): live only while the sketch
+    # has never been merged (merge_flag False). A fresh sketch starts
+    # un-merged like the reference's new(); absorb_coupons/union flip
+    # merge_flag and the estimator to ICON.
+    merge_flag: bool = field(default=None)
+    kxp: float = 0.0
+    hip_est_accum: float = 0.0
+    window_offset: int = 0
+    first_interesting_column: int = 0
 
     def __post_init__(self) -> None:
         if not 4 <= self.lg_k <= 26:
             raise ValueError("lg_k must be in [4, 26]")
         if self.matrix is None:
             self.matrix = np.zeros(1 << self.lg_k, dtype=np.uint64)
+            if self.merge_flag is None:
+                self.merge_flag = False
+                self.kxp = float(1 << self.lg_k)
+        elif self.merge_flag is None:
+            # constructed straight from a matrix: HIP history unknown
+            self.merge_flag = True
 
     @property
     def k(self) -> int:
@@ -117,7 +152,68 @@ class CpcSketch:
     def _absorb(self, h1: np.ndarray, h2: np.ndarray) -> None:
         rows = (h1 & _U64(self.k - 1)).astype(np.int64)
         cols = np.minimum(_clz64(h2), 63).astype(np.uint64)
-        np.bitwise_or.at(self.matrix, rows, _U64(1) << cols)
+        if not self.merge_flag:
+            self._update_sequential(rows, cols.astype(np.int64))
+        else:
+            np.bitwise_or.at(self.matrix, rows, _U64(1) << cols)
+
+    def _refresh_kxp_from(self, rows: list[int]) -> float:
+        """`cpc/sketch.rs:391-411`: byte-bucketed sums in row order,
+        then combined highest byte first — bit-exact float schedule."""
+        byte_sums = [0.0] * 8
+        for w in rows:
+            for j in range(8):
+                byte_sums[j] += _KXP_BYTE[(w >> (8 * j)) & 0xFF]
+        total = 0.0
+        for i in range(7, -1, -1):
+            total += _INV_POW2[i * 8] * byte_sums[i]
+        return total
+
+    def _update_sequential(self, rows: np.ndarray, cols: np.ndarray) -> None:
+        """The reference's exact single-stream update schedule
+        (`cpc/sketch.rs:210-338`): per-novel-coupon HIP accumulation,
+        sparse→windowed promotion at 32C ≥ 3K, window shifts at
+        8C ≥ (27 + 8·offset)·K with a kxp refresh every 8th offset and
+        a first_interesting_column recompute per shift."""
+        k = self.k
+        m = [int(x) for x in self.matrix]
+        c = self.num_coupons()
+        kxp = self.kxp
+        hip = self.hip_est_accum
+        offset = self.window_offset
+        fic = self.first_interesting_column
+        windowed = 32 * c >= 3 * k
+        mask64 = (1 << 64) - 1
+        for row, col in zip(rows.tolist(), cols.tolist()):
+            if col < fic:
+                continue  # `row_col_update` fast path
+            bit = 1 << col
+            w = m[row]
+            if w & bit:
+                continue  # not novel
+            m[row] = w | bit
+            c += 1
+            hip += k / kxp
+            kxp -= _INV_POW2[col + 1]
+            if not windowed:
+                if (c << 5) >= 3 * k:
+                    windowed = True  # promote_sparse_to_windowed
+            elif (c << 3) >= (27 + (offset << 3)) * k:
+                offset += 1  # move_window
+                if (offset & 7) == 0:
+                    kxp = self._refresh_kxp_from(m)
+                mask_clear = ~(0xFF << offset) & mask64
+                mask_flip = (1 << offset) - 1
+                ored = 0
+                for p in m:
+                    ored |= (p & mask_clear) ^ mask_flip
+                tz = (ored & -ored).bit_length() - 1 if ored else 64
+                fic = min(tz, offset)
+        self.matrix = np.array(m, dtype=np.uint64)
+        self.kxp = kxp
+        self.hip_est_accum = hip
+        self.window_offset = offset
+        self.first_interesting_column = fic
 
     def update_u64s(self, vals: np.ndarray) -> None:
         h1, h2 = murmur3_x64_128_u64s(vals.astype(np.uint64, copy=False), self.seed)
@@ -154,6 +250,10 @@ class CpcSketch:
         return (row26 << np.uint32(6)) | col
 
     def absorb_coupons(self, coupons: np.ndarray) -> None:
+        # bulk coupon ingestion is merge semantics: HIP history is
+        # unknowable, so the estimator switches to ICON (`union.rs`)
+        self.merge_flag = True
+        self.hip_est_accum = 0.0
         rows = ((coupons >> np.uint32(6)).astype(np.int64)) & (self.k - 1)
         cols = (coupons & np.uint32(63)).astype(np.uint64)
         np.bitwise_or.at(self.matrix, rows, _U64(1) << cols)
@@ -175,6 +275,10 @@ class CpcSketch:
         return int(sum(bin(int(w)).count("1") for w in self.matrix))
 
     def estimate(self) -> float:
+        """HIP for a never-merged update-path sketch, ICON otherwise
+        (`cpc/sketch.rs:137-141`)."""
+        if not self.merge_flag:
+            return self.hip_est_accum
         return icon_estimate(self.lg_k, self.num_coupons())
 
     def upper_bound(self, num_std_dev: int = 2) -> float:
@@ -212,6 +316,8 @@ class CpcSketch:
     def union(self, other: "CpcSketch") -> "CpcSketch":
         if other.seed != self.seed:
             raise ValueError("seed mismatch in CPC union")
+        self.merge_flag = True
+        self.hip_est_accum = 0.0
         if other.lg_k == self.lg_k:
             np.bitwise_or(self.matrix, other.matrix, out=self.matrix)
             return self

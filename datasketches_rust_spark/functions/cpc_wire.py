@@ -370,12 +370,16 @@ def _all_coupon_pairs(matrix: np.ndarray) -> np.ndarray:
 
 def serialize_wire(sk: CpcSketch) -> bytes:
     """Reference-layout compressed bytes for this sketch
-    (`cpc/sketch.rs:452-509`). merge_flag semantics: no HIP block."""
+    (`cpc/sketch.rs:452-509`). Merged sketches carry no HIP block;
+    an un-merged update-path sketch writes its kxp/hip_est_accum and
+    stored first_interesting_column, byte-identical to the reference
+    (foreign-fixture gated)."""
     lg_k = sk.lg_k
     k = 1 << lg_k
     c = sk.num_coupons()
     flavor = determine_flavor(lg_k, c)
     seed_hash = compute_seed_hash(sk.seed)
+    has_hip = not getattr(sk, "merge_flag", True)
 
     window_words = None
     table_words = None
@@ -415,10 +419,18 @@ def serialize_wire(sk: CpcSketch) -> bytes:
 
     has_table = table_words is not None
     has_window = window_words is not None
-    preamble_ints = _make_preamble_ints(c, False, has_table, has_window)
+    preamble_ints = _make_preamble_ints(c, has_hip, has_table, has_window)
+    if has_hip:
+        # the update-path sketch's stored column is authoritative
+        # (`cpc/sketch.rs:465` writes self.first_interesting_column)
+        fic = getattr(sk, "first_interesting_column", fic)
+    hip_block = (
+        struct.pack("<dd", sk.kxp, sk.hip_est_accum) if has_hip else b""
+    )
 
     flags = (
         (1 << _FLAG_COMPRESSED)
+        | ((1 if has_hip else 0) << _FLAG_HAS_HIP)
         | ((1 if has_table else 0) << _FLAG_HAS_TABLE)
         | ((1 if has_window else 0) << _FLAG_HAS_WINDOW)
     )
@@ -431,10 +443,13 @@ def serialize_wire(sk: CpcSketch) -> bytes:
         out += struct.pack("<I", c)
         if has_table and has_window:
             out += struct.pack("<I", table_num_entries)
+            out += hip_block  # first HIP decision point
         if has_table:
             out += struct.pack("<I", len(table_words))
         if has_window:
             out += struct.pack("<I", len(window_words))
+        if has_hip and not (has_table and has_window):
+            out += hip_block  # second HIP decision point
         if has_window:
             out += window_words.tobytes()
         if has_table:
@@ -535,9 +550,10 @@ def _make_preamble_ints(
 
 def deserialize_wire(data: bytes, seed: int = DEFAULT_UPDATE_SEED) -> CpcSketch:
     """Decode reference-layout compressed bytes into the engine's
-    dense-matrix CpcSketch (`cpc/sketch.rs:512-658`). HIP fields from
-    other implementations are accepted and discarded (the engine
-    estimator is ICON)."""
+    dense-matrix CpcSketch (`cpc/sketch.rs:512-658`). HIP fields are
+    preserved (merge_flag = !has_hip, like the reference), so a decoded
+    un-merged blob re-serializes byte-identically and estimates via
+    its HIP accumulator."""
     if len(data) < 8:
         raise ValueError("CPC wire bytes too short")
     preamble_ints, ser_ver, family, lg_k, fic, flags, seed_hash = struct.unpack_from(
@@ -564,6 +580,8 @@ def deserialize_wire(data: bytes, seed: int = DEFAULT_UPDATE_SEED) -> CpcSketch:
     k = 1 << lg_k
     off = 8
     num_coupons = 0
+    kxp = 0.0
+    hip_est_accum = 0.0
     table_num_entries = 0
     table_data_words = 0
     window_data_words = 0
@@ -584,7 +602,8 @@ def deserialize_wire(data: bytes, seed: int = DEFAULT_UPDATE_SEED) -> CpcSketch:
             off += 4
             if has_hip:
                 _need(16)
-                off += 16  # kxp, hip_est_accum — discarded
+                kxp, hip_est_accum = struct.unpack_from("<dd", data, off)
+                off += 16
         if has_table:
             _need(4)
             (table_data_words,) = struct.unpack_from("<I", data, off)
@@ -595,6 +614,7 @@ def deserialize_wire(data: bytes, seed: int = DEFAULT_UPDATE_SEED) -> CpcSketch:
             off += 4
         if has_hip and not (has_table and has_window):
             _need(16)
+            kxp, hip_est_accum = struct.unpack_from("<dd", data, off)
             off += 16
         if has_window:
             _need(4 * window_data_words)
@@ -655,7 +675,16 @@ def deserialize_wire(data: bytes, seed: int = DEFAULT_UPDATE_SEED) -> CpcSketch:
             # sets late-zone surprising ones
             np.bitwise_xor.at(matrix, row, _U64(1) << col.astype(np.uint64))
 
-    sk = CpcSketch(lg_k, seed, matrix)
+    sk = CpcSketch(
+        lg_k,
+        seed,
+        matrix,
+        merge_flag=not has_hip,
+        kxp=kxp if has_hip else 0.0,
+        hip_est_accum=hip_est_accum if has_hip else 0.0,
+        window_offset=determine_correct_offset(lg_k, num_coupons),
+        first_interesting_column=fic,
+    )
     if sk.num_coupons() != num_coupons:
         raise ValueError(
             f"CPC decode coupon mismatch: {sk.num_coupons()} != {num_coupons}"

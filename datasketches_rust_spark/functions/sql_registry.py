@@ -150,6 +150,9 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
     @pandas_udf("binary")
     def cpc_sketch_agg(vals: pd.Series) -> bytes:
         sk = CpcSketch(11)
+        # distributed partial: merge semantics (vectorized absorb +
+        # ICON), not the sequential single-stream HIP path
+        sk.merge_flag = True
         _typed_update(sk, vals)
         return sk.serialize()
 

@@ -55,6 +55,7 @@ from dataclasses import dataclass
 from math import ceil, floor, log, sqrt
 
 import numpy as np
+import pandas as pd
 
 from ..config import MAX_THETA, ThetaConfig
 from ..hashes import (
@@ -121,20 +122,66 @@ class ThetaSketch:
         return _canonicalize(hashes, cfg.starting_theta, cfg.k, cfg.seed_hash)
 
     @staticmethod
+    def from_hashes_sequential(hashes: np.ndarray, cfg: ThetaConfig) -> "ThetaSketch":
+        """Insertion-order build with the reference's staged-rebuild
+        schedule (`theta/hash_table.rs:196-278`): the table rebuilds —
+        trimming to the k smallest and lowering theta to the (k+1)-th —
+        only when retained crosses ``15/16 · 2^(lg_k+1)``
+        (`theta/mod.rs:65`), so a compact() of a freshly built sketch
+        can legitimately retain MORE than k entries.  Byte-for-byte
+        reproduces the reference's single-threaded update loop (resizes
+        below the max table size are lossless and need no emulation).
+
+        The distributed agg path stays on :meth:`from_hashes`
+        (order-independent bottom-k canonicalization) on purpose:
+        partition arrival order is not deterministic on a cluster, and
+        an order-dependent build would make distributed estimates
+        nondeterministic."""
+        rebuild_at = (15 * (1 << (cfg.lg_k + 1))) // 16  # rebuild when count exceeds this
+        k = cfg.k
+        theta = np.uint64(cfg.starting_theta)
+        h = hashes.astype(np.uint64, copy=False)
+        retained = np.zeros(0, np.uint64)
+        pos = 0
+        while pos < len(h):
+            cand = h[pos:]
+            cand = cand[(cand != 0) & (cand < theta)]
+            # in-order first occurrences, minus values already retained
+            cand = pd.unique(cand)
+            if len(retained):
+                cand = cand[~np.isin(cand, retained)]
+            room = rebuild_at + 1 - len(retained)
+            if len(cand) < room:
+                retained = np.concatenate([retained, cand])
+                break
+            # the room-th novel insert crosses the threshold -> rebuild
+            retained = np.concatenate([retained, cand[:room]])
+            full = np.sort(retained)
+            theta = full[k]  # (k+1)-th smallest becomes the new theta
+            retained = full[:k]
+            pos = len(h)  # re-derive the remaining queue below
+            remaining = cand[room:]
+            h = remaining
+            pos = 0
+        return ThetaSketch(np.sort(retained), int(theta), cfg.seed_hash, cfg.k)
+
+    @staticmethod
     def from_u64s(vals: np.ndarray, cfg: ThetaConfig) -> "ThetaSketch":
-        return ThetaSketch.from_hashes(theta_hash_u64s(vals, cfg.seed), cfg)
+        return ThetaSketch.from_hashes_sequential(theta_hash_u64s(vals, cfg.seed), cfg)
 
     @staticmethod
     def from_f64s(vals: np.ndarray, cfg: ThetaConfig) -> "ThetaSketch":
         """Float update path: canonical_double then u64 hashing
         (`theta/sketch.rs:134-152`, `common/mod.rs:31-41`) — NaN/−0.0
         items hash reference-identically."""
-        return ThetaSketch.from_hashes(theta_hash_f64s(vals, cfg.seed), cfg)
+        return ThetaSketch.from_hashes_sequential(theta_hash_f64s(vals, cfg.seed), cfg)
 
     @staticmethod
     def from_byte_items(items: list[bytes], cfg: ThetaConfig) -> "ThetaSketch":
         buf, starts, lengths = pack_bytes(items)
-        return ThetaSketch.from_hashes(theta_hash_bytes(buf, starts, lengths, cfg.seed), cfg)
+        return ThetaSketch.from_hashes_sequential(
+            theta_hash_bytes(buf, starts, lengths, cfg.seed), cfg
+        )
 
     @staticmethod
     def from_strings(items: list[str], cfg: ThetaConfig) -> "ThetaSketch":

@@ -63,16 +63,29 @@ def test_header_layout_golden():
     assert len(empty) == 8
     pre, ver, fam, lg_k, fic, flags = empty[:6]
     assert (pre, ver, fam, lg_k, fic) == (2, 1, 16, LG_K, 0)
-    assert flags == 1 << W._FLAG_COMPRESSED  # no hip/table/window
+    # a fresh update-path sketch is un-merged: HIP flag set even when
+    # empty (`cpc/sketch.rs:458`), but no HIP block until C > 0
+    assert flags == (1 << W._FLAG_COMPRESSED) | (1 << W._FLAG_HAS_HIP)
 
     sk = CpcSketch(LG_K)
-    sk.update_u64s(np.arange(50).astype(np.uint64))  # sparse
+    sk.update_u64s(np.arange(50).astype(np.uint64))  # sparse, un-merged
     b = W.serialize_wire(sk)
-    assert b[0] == 4  # 2 + coupons + table_data_words
-    assert b[5] == (1 << W._FLAG_COMPRESSED) | (1 << W._FLAG_HAS_TABLE)
+    assert b[0] == 8  # 2 + coupons + HIP(4) + table_data_words
+    assert b[5] == (
+        (1 << W._FLAG_COMPRESSED)
+        | (1 << W._FLAG_HAS_HIP)
+        | (1 << W._FLAG_HAS_TABLE)
+    )
     assert int.from_bytes(b[8:12], "little") == sk.num_coupons()
 
+    # the merged form of the same matrix drops the HIP block
+    msk = CpcSketch(LG_K, sk.seed, sk.matrix.copy())
+    mb = W.serialize_wire(msk)
+    assert mb[0] == 4  # 2 + coupons + table_data_words
+    assert mb[5] == (1 << W._FLAG_COMPRESSED) | (1 << W._FLAG_HAS_TABLE)
+
     sk2 = CpcSketch(LG_K)
+    sk2.merge_flag = True
     sk2.update_u64s(np.arange(50000).astype(np.uint64))  # sliding
     b2 = W.serialize_wire(sk2)
     assert b2[0] == 6  # 2 + coupons + entries + table_words + window_words
@@ -168,7 +181,13 @@ def test_cpc_wrapper_header_only_estimate():
         assert wr.lg_k == LG_K
         assert wr.num_coupons == sk.num_coupons()
         assert wr.estimate() == sk.estimate()
-        assert wr.merge_flag is True
+        # an update-path sketch is un-merged: HIP travels on the wire
+        assert wr.merge_flag is False
+        # and a merged copy of the same matrix writes the ICON form
+        merged = CpcSketch(LG_K, sk.seed, sk.matrix.copy())
+        mwr = W.CpcWrapper(W.serialize_wire(merged))
+        assert mwr.merge_flag is True
+        assert mwr.num_coupons == sk.num_coupons()
 
 
 def test_cpc_hip_bearing_blob_accepted():
@@ -178,6 +197,7 @@ def test_cpc_hip_bearing_blob_accepted():
     import struct
 
     sk = CpcSketch(LG_K)
+    sk.merge_flag = True  # start from a merged (no-HIP) blob
     sk.update_u64s(np.arange(50).astype(np.uint64))  # sparse: table only
     blob = W.serialize_wire(sk)
     pre, ver, fam, lg_k, fic, flags = blob[:6]

@@ -39,21 +39,41 @@ def test_estimation_mode_within_2_percent():
 
 
 def test_theta_is_kth_smallest_and_entries_screened():
-    # rebuild/trim property (`hash_table.rs:683-729`)
+    # canonical bottom-k trim (`hash_table.rs:683-729`) — the
+    # order-independent distributed-agg layer
+    from datasketches_rust_spark.hashes import theta_hash_u64s
+
     cfg = ThetaConfig(lg_k=5)
     vals = np.arange(1000, dtype=np.uint64)
-    s = ThetaSketch.from_u64s(vals, cfg)
+    s = ThetaSketch.from_hashes(theta_hash_u64s(vals, cfg.seed), cfg)
     assert len(s.entries) == cfg.k
     assert (s.entries < np.uint64(s.theta)).all()
     assert (np.diff(s.entries.astype(np.int64)) > 0).all()  # sorted distinct
 
+    # the sequential reference-schedule layer retains between k and
+    # 15/16·2k entries (`theta/mod.rs:65`), all screened by its theta
+    seq = ThetaSketch.from_u64s(vals, cfg)
+    assert cfg.k <= len(seq.entries) <= (15 * (1 << (cfg.lg_k + 1))) // 16
+    assert (seq.entries < np.uint64(seq.theta)).all()
+    # both layers are unbiased views of the same stream: the canonical
+    # sketch's entry set is a subset relation under the smaller theta
+    assert seq.theta >= s.theta
+
 
 def test_union_laws():
     # commutative/associative/idempotent (`hll_union_test.rs:406-515` analog)
+    from datasketches_rust_spark.hashes import theta_hash_u64s
+
     cfg = ThetaConfig(lg_k=6)
-    a = ThetaSketch.from_u64s(np.arange(0, 500, dtype=np.uint64), cfg)
-    b = ThetaSketch.from_u64s(np.arange(300, 900, dtype=np.uint64), cfg)
-    c = ThetaSketch.from_u64s(np.arange(800, 1500, dtype=np.uint64), cfg)
+
+    def _build(lo: int, hi: int) -> ThetaSketch:
+        return ThetaSketch.from_hashes(
+            theta_hash_u64s(np.arange(lo, hi, dtype=np.uint64), cfg.seed), cfg
+        )
+
+    a = _build(0, 500)
+    b = _build(300, 900)
+    c = _build(800, 1500)
 
     ab = theta_union([a, b])
     ba = theta_union([b, a])
@@ -67,7 +87,7 @@ def test_union_laws():
     assert aa.theta == a.theta and (aa.entries == a.entries).all()
 
     # union equals single-shot sketch of the combined stream
-    both = ThetaSketch.from_u64s(np.arange(0, 900, dtype=np.uint64), cfg)
+    both = _build(0, 900)
     assert ab.theta == both.theta and (ab.entries == both.entries).all()
 
 
