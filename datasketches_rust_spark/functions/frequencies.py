@@ -38,102 +38,261 @@ class ErrorType(Enum):
     NO_FALSE_NEGATIVES = "no_false_negatives"
 
 
+def _item_hash_bytes(item) -> bytes:
+    """The reference's `Hash` feed for `hash_item`
+    (`reverse_purge_item_hash_map.rs:314-319`): i64/u64 write 8 LE
+    bytes; strings write utf-8 + the 0xff terminator Rust's
+    `str::hash` appends."""
+    if isinstance(item, (int, np.integer)):
+        v = int(item)
+        return struct.pack("<q", v) if v < (1 << 63) else struct.pack("<Q", v)
+    return str(item).encode("utf-8") + b"\xff"
+
+
+def _hash_items(items: list) -> np.ndarray:
+    """murmur3 x64-128 h1 with the default update seed — exactly
+    `hash_item` (`MurmurHash3X64128::default()` = seed 9001)."""
+    from ..hashes import DEFAULT_UPDATE_SEED, murmur3_x64_128_arr, pack_bytes
+
+    buf, starts, lengths = pack_bytes([_item_hash_bytes(i) for i in items])
+    h1, _h2 = murmur3_x64_128_arr(buf, starts, lengths, DEFAULT_UPDATE_SEED)
+    return h1
+
+
 @dataclass
 class FrequentItemsSketch:
-    """Misra-Gries heavy hitters over hashable items."""
+    """Misra-Gries heavy hitters — a port of the reference's
+    reverse-purge open-addressing map (round 4; previously a plain
+    dict with a documented purge-sampling divergence, now closed):
+    linear probing with drift states, ×2 growth at 75% load up to
+    max_map_size, purge = upper-median of the first ≤1024 active
+    slots in table order, golden-ratio-stride serialization order —
+    all byte/offset-identical to a reference run on the same update
+    sequence (`reverse_purge_item_hash_map.rs`, foreign-fixture
+    gated)."""
 
     max_map_size: int
-    counters: dict = field(default_factory=dict)
     offset: int = 0
     # total stream weight ever seen (`sketch.rs:53`, serialized at
     # `sketch.rs:444`); not consulted by estimates, needed for wire parity
     stream_weight: int = 0
+    # probe-table state (`reverse_purge_item_hash_map.rs:33-60`)
+    _keys: list = field(default=None, repr=False)
+    _vals: list = field(default=None, repr=False)
+    _states: list = field(default=None, repr=False)  # drift, 0 = empty
+    _num_active: int = 0
+
+    _LG_MIN_MAP_SIZE = 3  # `frequencies/sketch.rs:40`
+    _SAMPLE_SIZE = 1024  # `frequencies/sketch.rs:41`
 
     def __post_init__(self) -> None:
         if self.max_map_size & (self.max_map_size - 1):
             raise ValueError("max_map_size must be a power of 2")
+        if self._keys is None:
+            self._alloc(1 << self._LG_MIN_MAP_SIZE)
+
+    def _alloc(self, size: int) -> None:
+        self._keys = [None] * size
+        self._vals = [0] * size
+        self._states = [0] * size
+        self._num_active = 0
+
+    @property
+    def counters(self) -> dict:
+        """Read-only {item: count} view in table-scan order."""
+        return {
+            k: v
+            for k, v, s in zip(self._keys, self._vals, self._states)
+            if s > 0
+        }
 
     @property
     def purge_threshold(self) -> int:
-        return int(self.max_map_size * 0.75)
+        """maximum_map_capacity (`sketch.rs:396`)."""
+        return (self.max_map_size * 3) // 4
+
+    @property
+    def _cur_map_cap(self) -> int:
+        return int(len(self._keys) * 0.75)
+
+    # -- probe-table primitives (`reverse_purge_item_hash_map.rs`) ----------
+
+    def _adjust_or_put(self, key, amount: int, h: int) -> None:
+        """`adjust_or_put_value` (:71-95): linear probe, drift state."""
+        mask = len(self._keys) - 1
+        probe = h & mask
+        drift = 1
+        states = self._states
+        keys = self._keys
+        while states[probe] != 0:
+            if keys[probe] == key:
+                self._vals[probe] += amount
+                return
+            probe = (probe + 1) & mask
+            drift += 1
+        keys[probe] = key
+        self._vals[probe] = amount
+        states[probe] = drift
+        self._num_active += 1
+
+    def _hash_delete(self, delete_probe: int) -> None:
+        """`hash_delete` (:247-266): backward-shift compaction."""
+        keys, vals, states = self._keys, self._vals, self._states
+        states[delete_probe] = 0
+        keys[delete_probe] = None
+        drift = 1
+        mask = len(keys) - 1
+        probe = (delete_probe + drift) & mask
+        while states[probe] != 0:
+            if states[probe] > drift:
+                keys[delete_probe] = keys[probe]
+                vals[delete_probe] = vals[probe]
+                states[delete_probe] = states[probe] - drift
+                states[probe] = 0
+                keys[probe] = None
+                drift = 0
+                delete_probe = probe
+            probe = (probe + 1) & mask
+            drift += 1
+
+    def _keep_only_positive(self) -> None:
+        """`keep_only_positive_counts` (:98-116): two reverse sweeps
+        split at the first empty slot scanning down from the top."""
+        states, vals = self._states, self._vals
+        n = len(states)
+        first_probe = n - 1
+        while states[first_probe] > 0:
+            first_probe -= 1
+        for probe in range(first_probe - 1, -1, -1):
+            if states[probe] > 0 and vals[probe] == 0:
+                self._hash_delete(probe)
+                self._num_active -= 1
+        for probe in range(n - 1, first_probe - 1, -1):
+            if states[probe] > 0 and vals[probe] == 0:
+                self._hash_delete(probe)
+                self._num_active -= 1
+
+    def _purge_map(self, sample_size: int) -> int:
+        """`purge` (:126-146): upper median of the first `limit`
+        active slots in table order; saturating subtract; drop zeros."""
+        limit = min(sample_size, self._num_active, self._SAMPLE_SIZE)
+        samples = []
+        i = 0
+        while len(samples) < limit:
+            if self._states[i] > 0:
+                samples.append(self._vals[i])
+            i += 1
+        mid = len(samples) // 2
+        median = int(np.partition(np.array(samples, dtype=np.int64), mid)[mid])
+        self._vals = [max(0, v - median) for v in self._vals]
+        self._keep_only_positive()
+        return median
+
+    def _resize(self, new_size: int) -> None:
+        """`resize` (:149-167): rehash in table-scan order."""
+        old = [
+            (k, v)
+            for k, v, s in zip(self._keys, self._vals, self._states)
+            if s > 0
+        ]
+        self._alloc(new_size)
+        if old:
+            hs = _hash_items([k for k, _ in old])
+            for (k, v), h in zip(old, hs.tolist()):
+                self._adjust_or_put(k, v, h)
+
+    def _maybe_resize_or_purge(self) -> None:
+        """`sketch.rs:372-385`."""
+        if self._num_active > self._cur_map_cap:
+            if len(self._keys) < self.max_map_size:
+                self._resize(len(self._keys) * 2)
+            else:
+                sample_size = min(self._SAMPLE_SIZE, self.purge_threshold)
+                self.offset += self._purge_map(sample_size)
+
+    def _iter_table(self):
+        """Golden-ratio-stride iteration (`ReversePurgeItemIter`,
+        :269-313) — the reference's serialization and merge order."""
+        size = len(self._keys)
+        stride = int(size * 0.6180339887498949) | 1
+        mask = size - 1
+        index = (-stride) & ((1 << 64) - 1)
+        seen = 0
+        while seen < self._num_active:
+            index = (index + stride) & mask
+            if self._states[index] > 0:
+                seen += 1
+                yield self._keys[index], self._vals[index]
+
+    # -- update / merge ------------------------------------------------------
 
     def update(self, item, count: int = 1) -> None:
-        self.counters[item] = self.counters.get(item, 0) + count
+        if count == 0:
+            return
+        if count < 0:
+            raise ValueError("count may not be negative")
         self.stream_weight += count
-        if len(self.counters) > self.purge_threshold:
-            self._purge()
+        self._adjust_or_put(item, count, int(_hash_items([item])[0]))
+        self._maybe_resize_or_purge()
 
     def update_batch(self, items: pd.Series, weights: pd.Series | None = None) -> None:
+        """Batch path for the Spark aggregates: pre-aggregates the
+        batch (one insert per distinct item — the engine's documented
+        batch semantics; per-item `update` is the reference-exact
+        sequential path) with vectorized hashing."""
         if weights is None:
             vc = items.value_counts()
         else:
             vc = pd.Series(weights.to_numpy(), index=items.to_numpy()).groupby(level=0).sum()
-        for item, c in vc.items():
-            self.counters[item] = self.counters.get(item, 0) + int(c)
+        if not len(vc):
+            return
+        keys = list(vc.index)
+        hs = _hash_items(keys)
+        for item, c, h in zip(keys, vc.to_numpy().tolist(), hs.tolist()):
+            if c == 0:
+                continue
             self.stream_weight += int(c)
-        while len(self.counters) > self.purge_threshold:
-            self._purge()
-
-    # reference sample budget: SAMPLE_SIZE=1024 (`sketch.rs:41`),
-    # capped by map capacity (`sketch.rs:397`) and num_active
-    # (`reverse_purge_item_hash_map.rs:130-146`)
-    _SAMPLE_SIZE = 1024
-
-    def _purge(self) -> None:
-        """Subtract the (sampled) median count and drop non-positive
-        entries (`reverse_purge_item_hash_map.rs:126-146`).
-
-        Median selection matches the reference: the UPPER median
-        (select_nth at n/2), of at most min(1024, capacity) sampled
-        counts. Divergence, documented: the reference samples the
-        first `limit` ACTIVE SLOTS of its open-addressing table —
-        membership depends on each item's table position and the
-        insertion/probe history — while this engine (a dict, no slot
-        layout) samples the `limit` items with the smallest engine
-        hash of their string form: equally uniform-pseudo-random over
-        items, deterministic and insertion-order-independent (better
-        for Spark's order-insensitive merge contract), but purge
-        offsets on >1024-entry maps can differ from a reference run on
-        identical input by the sampling noise both sides share. When
-        num_active <= limit both sides take the median of every count
-        and agree exactly."""
-        vals = np.fromiter(self.counters.values(), dtype=np.int64, count=len(self.counters))
-        limit = min(self._SAMPLE_SIZE, self.purge_threshold, len(vals))
-        if len(vals) > limit:
-            from ..hashes import pack_bytes, xxhash64_arr
-
-            buf, starts, lengths = pack_bytes(
-                [str(k).encode("utf-8") for k in self.counters]
-            )
-            h = xxhash64_arr(buf, starts, lengths, 0)
-            take = np.argpartition(h, limit - 1)[:limit]
-            vals = vals[take]
-        mid = len(vals) // 2
-        med = int(np.partition(vals, mid)[mid])
-        med = max(med, 1)
-        self.counters = {k: v - med for k, v in self.counters.items() if v - med > 0}
-        self.offset += med
+            self._adjust_or_put(item, int(c), h)
+            self._maybe_resize_or_purge()
 
     def merge(self, other: "FrequentItemsSketch") -> "FrequentItemsSketch":
         if other.max_map_size != self.max_map_size:
             raise ValueError("max_map_size mismatch in merge")
-        for item, c in other.counters.items():
-            self.counters[item] = self.counters.get(item, 0) + c
+        if other._num_active == 0:
+            self.offset += other.offset
+            self.stream_weight += other.stream_weight
+            return self
+        merged_total = self.stream_weight + other.stream_weight
+        pairs = list(other._iter_table())
+        hs = _hash_items([k for k, _ in pairs])
+        for (item, c), h in zip(pairs, hs.tolist()):
+            self.stream_weight += c
+            self._adjust_or_put(item, c, h)
+            self._maybe_resize_or_purge()
         self.offset += other.offset
-        self.stream_weight += other.stream_weight
-        while len(self.counters) > self.purge_threshold:
-            self._purge()
+        self.stream_weight = merged_total
         return self
 
+    def _get(self, item) -> int | None:
+        """`get` (:62-68): probe lookup; None when absent."""
+        mask = len(self._keys) - 1
+        probe = int(_hash_items([item])[0]) & mask
+        while self._states[probe] != 0:
+            if self._keys[probe] == item:
+                return self._vals[probe]
+            probe = (probe + 1) & mask
+        return None
+
     def estimate(self, item) -> int:
-        c = self.counters.get(item)
+        c = self._get(item)
         return 0 if c is None else c + self.offset
 
     def lower_bound(self, item) -> int:
-        return self.counters.get(item, 0)
+        c = self._get(item)
+        return 0 if c is None else c
 
     def upper_bound(self, item) -> int:
-        c = self.counters.get(item)
+        c = self._get(item)
         return 0 if c is None else c + self.offset
 
     @property
@@ -166,7 +325,6 @@ class FrequentItemsSketch:
     # encode cannot be read back by its 8-byte-reading decode
     # (`sketch.rs:417-424` vs `:461-474`), so we side with the decoder.
 
-    _LG_MIN_MAP_SIZE = 3  # `frequencies/sketch.rs:40`
     _EMPTY_FLAG = 5  # `frequencies/serialization.rs:33`
 
     @property
@@ -174,13 +332,8 @@ class FrequentItemsSketch:
         return self.max_map_size.bit_length() - 1
 
     def _lg_cur(self) -> int:
-        """Smallest backing-array lg that holds the active items at
-        load factor 0.75, clamped to [LG_MIN, lg_max] — mirrors the
-        hash map's growth schedule."""
-        lg = self._LG_MIN_MAP_SIZE
-        while (1 << lg) * 0.75 < len(self.counters) and lg < self._lg_max:
-            lg += 1
-        return lg
+        """lg of the live probe table (`hash_map.lg_length()`)."""
+        return len(self._keys).bit_length() - 1
 
     @staticmethod
     def _infer_item_type(items) -> str:
@@ -189,11 +342,18 @@ class FrequentItemsSketch:
     def serialize(self, item_type: str | None = None) -> bytes:
         if item_type is None:
             item_type = self._infer_item_type(list(self.counters))
-        if not self.counters:
+        if self._num_active == 0:
             return struct.pack(
                 "<BBBBBBH", 1, 1, 10, self._lg_max, self._LG_MIN_MAP_SIZE, self._EMPTY_FLAG, 0
             )
-        items = sorted(self.counters.items(), key=lambda kv: str(kv[0]))
+        # table-scan order — the reference's active_values()/
+        # active_keys() serialization order (`reverse_purge_item_hash_
+        # map.rs:190-220`; the golden stride is only the merge iterator)
+        items = [
+            (k, v)
+            for k, v, s in zip(self._keys, self._vals, self._states)
+            if s > 0
+        ]
         out = bytearray()
         out += struct.pack("<BBBBBBH", 4, 1, 10, self._lg_max, self._lg_cur(), 0, 0)
         out += struct.pack("<IIQQ", len(items), 0, self.stream_weight, self.offset)
@@ -254,7 +414,14 @@ class FrequentItemsSketch:
                 off += 8
             else:
                 raise ValueError(f"unsupported item type {item_type}")
-        sk = FrequentItemsSketch(1 << lg_max, dict(zip(items, counts)))
+        # rebuild into an lg_cur-sized probe table by inserting in wire
+        # order (`deserialize_inner` pre-sizes, then adjust_or_put each)
+        sk = FrequentItemsSketch(1 << lg_max)
+        sk._alloc(1 << max(lg_cur, FrequentItemsSketch._LG_MIN_MAP_SIZE))
+        if items:
+            hs = _hash_items(items)
+            for item, c, h in zip(items, counts, hs.tolist()):
+                sk._adjust_or_put(item, int(c), int(h))
         sk.stream_weight = stream_weight
         sk.offset = offset
         return sk

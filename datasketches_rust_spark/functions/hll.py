@@ -144,6 +144,36 @@ def _get_rel_err(lg_k: int, upper: bool, ooo: bool, num_std_dev: int) -> float:
     return float(table[idx])
 
 
+def _coupon_estimate(count: int) -> float:
+    """LIST/SET-mode estimator (`hll/container.rs:108-113`): cubic
+    interpolation of the coupon-collector mapping, floored at the
+    observed count."""
+    from ._hll_tables import COUPON_X_ARR, COUPON_Y_ARR
+
+    x = float(count)
+    last = len(COUPON_X_ARR) - 1
+    if x == COUPON_X_ARR[last]:
+        return float(COUPON_Y_ARR[last])
+    offset = int(np.searchsorted(COUPON_X_ARR, x, side="right")) - 1
+    if offset == 0:
+        base = 0
+    elif offset == last - 1:
+        base = offset - 2
+    else:
+        base = offset - 1
+    est = _cubic_interpolate(
+        COUPON_X_ARR[base], COUPON_Y_ARR[base],
+        COUPON_X_ARR[base + 1], COUPON_Y_ARR[base + 1],
+        COUPON_X_ARR[base + 2], COUPON_Y_ARR[base + 2],
+        COUPON_X_ARR[base + 3], COUPON_Y_ARR[base + 3], x,
+    )
+    return max(x, est)
+
+
+_LG_INIT_LIST = 3  # `hll/list.rs:46`
+_LG_INIT_SET = 5  # `hll/hash_set.rs:48`
+
+
 @dataclass
 class HllSketch:
     lg_k: int = 12
@@ -152,12 +182,31 @@ class HllSketch:
     # HIP state (`hll/estimator.rs:42-63`): valid only while in-order
     hip_accum: float = 0.0
     out_of_order: bool = False
+    # promotion-ladder state (`hll/sketch.rs:181-210`): a fresh in-order
+    # sketch walks List -> Set -> dense exactly like the reference; any
+    # merge-semantics construction (out_of_order=True or explicit
+    # registers) starts dense.
+    mode: str = field(default=None)
+    coupon_list: list = field(default=None)  # LIST: insertion order
+    set_table: list = field(default=None)  # SET: open-addressed table
+    set_lg: int = _LG_INIT_SET
+    set_count: int = 0
+    # incremental kxq halves — authoritative when built sequentially or
+    # decoded from a dense wire blob; None -> recompute from registers
+    kxq0: float = None
+    kxq1: float = None
 
     def __post_init__(self) -> None:
         if not 4 <= self.lg_k <= 21:
             raise ValueError("lg_k must be in [4, 21]")
+        if self.mode is None:
+            self.mode = (
+                "list" if self.registers is None and not self.out_of_order else "hll"
+            )
         if self.registers is None:
             self.registers = np.zeros(1 << self.lg_k, dtype=np.uint8)
+        if self.mode == "list" and self.coupon_list is None:
+            self.coupon_list = []
 
     @property
     def k(self) -> int:
@@ -176,6 +225,7 @@ class HllSketch:
         slot = (slot26 & (self.k - 1)).astype(np.int64)
         if not self.out_of_order:
             self._hip_update(slot, value)
+        self.kxq0 = self.kxq1 = None
         np.maximum.at(self.registers, slot, value)
 
     def _hip_update(self, slot: np.ndarray, value: np.ndarray) -> None:
@@ -217,15 +267,152 @@ class HllSketch:
 
     def update_u64s(self, vals: np.ndarray) -> None:
         h1, h2 = murmur3_x64_128_u64s(vals.astype(np.uint64, copy=False), self.seed)
-        self._absorb(*_coupons_from_h(h1, h2))
+        self._update_coupons(*_coupons_from_h(h1, h2))
 
     def update_bytes(self, items: list[bytes]) -> None:
         buf, starts, lengths = pack_bytes(items)
         h1, h2 = murmur3_x64_128_arr(buf, starts, lengths, self.seed)
-        self._absorb(*_coupons_from_h(h1, h2))
+        self._update_coupons(*_coupons_from_h(h1, h2))
 
     def update_strings(self, items: list[str]) -> None:
         self.update_bytes([s.encode("utf-8") for s in items])
+
+    # -- reference promotion ladder (sequential, byte-parity path) ----------
+
+    def _update_coupons(self, slot26: np.ndarray, value: np.ndarray) -> None:
+        if self.out_of_order:
+            # merge-semantics sketch: vectorized dense absorb, no HIP
+            self._ensure_dense()
+            self._absorb(slot26, value)
+            return
+        coupons = (
+            (value.astype(np.uint32) << np.uint32(26)) | slot26.astype(np.uint32)
+        )
+        self._update_sequential(coupons)
+
+    def _set_insert(self, coupon: int) -> bool:
+        """`hll/hash_set.rs:61-90`: linear probe with odd stride; True
+        if novel."""
+        mask = (1 << self.set_lg) - 1
+        tbl = self.set_table
+        probe = coupon & mask
+        while True:
+            v = tbl[probe]
+            if v == 0:
+                tbl[probe] = coupon
+                self.set_count += 1
+                return True
+            if v == coupon:
+                return False
+            stride = ((coupon & _KEY_MASK_26) >> self.set_lg) | 1
+            probe = (probe + stride) & mask
+
+    def _grow_set(self) -> None:
+        """`hll/sketch.rs:409-420`: re-insert in table-scan order."""
+        old = self.set_table
+        self.set_lg += 1
+        self.set_table = [0] * (1 << self.set_lg)
+        self.set_count = 0
+        for c in old:
+            if c:
+                self._set_insert(c)
+
+    def _promote_to_dense(self, coupons_in_order: list) -> None:
+        """`hll/sketch.rs:422-449`: insert the container's coupons into
+        a fresh array (incrementally evolving kxq), then overwrite the
+        HIP accumulator with the coupon estimate."""
+        count = len(coupons_in_order)
+        regs = bytearray(self.k)
+        kxq0, kxq1 = float(self.k), 0.0
+        hip = 0.0
+        k = self.k
+        kmask = k - 1
+        for c in coupons_in_order:
+            slot = (c & _KEY_MASK_26) & kmask
+            v = c >> 26
+            old = regs[slot]
+            if v > old:
+                hip += k / (kxq0 + kxq1)  # discarded below, like the reference
+                if old < 32:
+                    kxq0 -= 2.0**-old
+                else:
+                    kxq1 -= 2.0**-old
+                if v < 32:
+                    kxq0 += 2.0**-v
+                else:
+                    kxq1 += 2.0**-v
+                regs[slot] = v
+        self.registers = np.frombuffer(bytes(regs), dtype=np.uint8).copy()
+        self.kxq0, self.kxq1 = kxq0, kxq1
+        self.hip_accum = _coupon_estimate(count)  # set_hip_accum
+        self.mode = "hll"
+        self.coupon_list = None
+        self.set_table = None
+
+    def _update_sequential(self, coupons: np.ndarray) -> None:
+        """The reference's exact single-stream schedule
+        (`hll/sketch.rs:181-210`): List (8 slots) promotes when full —
+        to dense for lg_k < 8, else to Set; Set grows at 75% load and
+        promotes to dense when its table would exceed lg_k-3. Dense
+        updates maintain HIP/kxq per register-raising event
+        (`hll/estimator.rs:76-105`), bit-exactly."""
+        it = iter(coupons.tolist())
+        for c in it:
+            if self.mode == "list":
+                lst = self.coupon_list
+                if c not in lst:
+                    lst.append(c)
+                    if len(lst) == (1 << _LG_INIT_LIST):  # is_full
+                        if self.lg_k < 8:
+                            self._promote_to_dense(lst)
+                        else:
+                            self.set_table = [0] * (1 << _LG_INIT_SET)
+                            self.set_lg = _LG_INIT_SET
+                            self.set_count = 0
+                            for lc in lst:
+                                self._set_insert(lc)
+                            self.mode = "set"
+                            self.coupon_list = None
+            elif self.mode == "set":
+                self._set_insert(c)
+                if 4 * self.set_count > 3 * (1 << self.set_lg):
+                    if self.set_lg == self.lg_k - 3:
+                        self._promote_to_dense([x for x in self.set_table if x])
+                    else:
+                        self._grow_set()
+            else:
+                break
+        else:
+            return
+        # dense in-order tail: sequential HIP loop over the remainder
+        rest = [c] + list(it)
+        regs = bytearray(self.registers.tobytes())
+        if self.kxq0 is None:
+            regsf = self.registers.astype(np.float64)
+            self.kxq0 = float(np.power(2.0, -regsf[self.registers < 32]).sum())
+            self.kxq1 = float(np.power(2.0, -regsf[self.registers >= 32]).sum())
+        kxq0, kxq1 = self.kxq0, self.kxq1
+        hip = self.hip_accum
+        k = self.k
+        kmask = k - 1
+        for c in rest:
+            slot = (c & _KEY_MASK_26) & kmask
+            v = c >> 26
+            old = regs[slot]
+            if v > old:
+                hip += k / (kxq0 + kxq1)
+                if old < 32:
+                    kxq0 -= 2.0**-old
+                else:
+                    kxq1 -= 2.0**-old
+                if v < 32:
+                    kxq0 += 2.0**-v
+                else:
+                    kxq1 += 2.0**-v
+                regs[slot] = v
+        self.registers = np.frombuffer(bytes(regs), dtype=np.uint8).copy()
+        self.kxq0, self.kxq1 = kxq0, kxq1
+        self.hip_accum = hip
 
     # -- coupon-level API (sparse write side, `hll/sketch.rs:62-65`) --------
     # A coupon is the 32-bit (value << 26 | slot26) packing the reference
@@ -251,6 +438,10 @@ class HllSketch:
         sketch goes out-of-order like any merge)."""
         self.out_of_order = True
         self.hip_accum = 0.0
+        self.mode = "hll"
+        self.coupon_list = None
+        self.set_table = None
+        self.kxq0 = self.kxq1 = None
         slot = (coupons & np.uint32(_KEY_MASK_26)).astype(np.int64) & (self.k - 1)
         value = (coupons >> np.uint32(26)).astype(np.uint8)
         np.maximum.at(self.registers, slot, value)
@@ -303,26 +494,78 @@ class HllSketch:
         return adj if (adj + lin) / 2.0 > crossover * k else lin
 
     def estimate(self) -> float:
-        """HIP when in-order, composite otherwise (`estimator.rs:
-        112-121`) — merged/deserialized sketches are always composite."""
+        """LIST/SET: coupon-mapping estimate (`container.rs:108-113`);
+        dense: HIP when in-order, composite otherwise
+        (`estimator.rs:112-121`) — merged/deserialized dense sketches
+        are always composite."""
+        if self.mode in ("list", "set"):
+            return _coupon_estimate(self._coupon_count())
         return self.composite_estimate() if self.out_of_order else self.hip_accum
 
+    _COUPON_RSE = 0.409 / (1 << 13)  # `hll/mod.rs:154-155`
+
     def upper_bound(self, num_std_dev: int = 2) -> float:
+        if self.mode in ("list", "set"):
+            n = self._coupon_count()
+            return max(
+                float(n),
+                _coupon_estimate(n) / (1.0 - num_std_dev * self._COUPON_RSE),
+            )
         rse = _get_rel_err(self.lg_k, True, self.out_of_order, num_std_dev)
         return self.estimate() / (1.0 + rse)
 
     def lower_bound(self, num_std_dev: int = 2) -> float:
+        if self.mode in ("list", "set"):
+            n = self._coupon_count()
+            return max(
+                float(n),
+                _coupon_estimate(n) / (1.0 + num_std_dev * self._COUPON_RSE),
+            )
         rse = _get_rel_err(self.lg_k, False, self.out_of_order, num_std_dev)
         return self.estimate() / (1.0 + rse)
+
+    def _coupon_count(self) -> int:
+        if self.mode == "list":
+            return len(self.coupon_list)
+        if self.mode == "set":
+            return self.set_count
+        raise ValueError("not in a coupon mode")
+
+    def _coupons_in_container_order(self) -> list:
+        """LIST: insertion order; SET: table-scan order — the
+        serialization/promotion iteration orders of `container.iter()`."""
+        if self.mode == "list":
+            return list(self.coupon_list)
+        return [c for c in self.set_table if c]
+
+    def _ensure_dense(self) -> None:
+        """Fold coupon-mode state into the dense registers with merge
+        semantics (HIP lost) — used before union/shuffle operations."""
+        if self.mode == "hll":
+            return
+        coupons = np.array(self._coupons_in_container_order(), dtype=np.uint32)
+        self.mode = "hll"
+        self.coupon_list = None
+        self.set_table = None
+        self.kxq0 = self.kxq1 = None
+        self.absorb_coupons(coupons)
 
     # -- union ----------------------------------------------------------------
 
     def union(self, other: "HllSketch") -> "HllSketch":
         if other.seed != self.seed:
             raise ValueError("seed mismatch in HLL union")
+        self._ensure_dense()
+        if other.mode != "hll":
+            other = HllSketch.from_coupons(
+                np.array(other._coupons_in_container_order(), dtype=np.uint32),
+                other.lg_k,
+                other.seed,
+            )
         # merged sketches lose HIP validity (`estimator.rs:286-301`)
         self.out_of_order = True
         self.hip_accum = 0.0
+        self.kxq0 = self.kxq1 = None
         if other.lg_k == self.lg_k:
             np.maximum(self.registers, other.registers, out=self.registers)
             return self
@@ -360,11 +603,38 @@ class HllSketch:
         """``target``: 'hll8' (raw register bytes), 'hll6' (6-bit LE
         packing, `array6.rs:104-130`), or 'hll4' (cur_min-offset
         nibbles + aux coupon list for overflows, `array4.rs:118-180` —
-        datasketches-java's default, the smallest wire form)."""
+        datasketches-java's default, the smallest wire form).
+
+        A sketch still in LIST/SET mode writes the coupon forms
+        (`hll/list.rs:105-155`, `hll/hash_set.rs:146-203`): LIST keeps
+        insertion order, SET sorts its coupons; both byte-identical to
+        the reference (foreign-fixture gated)."""
+        tgt_code = {"hll4": 0, "hll6": 1, "hll8": 2}[target]
+        if self.mode == "list":
+            coupons = self.coupon_list
+            flags = self._WIRE_COMPACT | (self._WIRE_EMPTY if not coupons else 0)
+            out = struct.pack(
+                "<BBBBBBBB", 2, 1, 7, self.lg_k, _LG_INIT_LIST, flags,
+                len(coupons), self._MODE_LIST | (tgt_code << 2),
+            )
+            return out + np.array(coupons, dtype="<u4").tobytes()
+        if self.mode == "set":
+            coupons = sorted(c for c in self.set_table if c)
+            out = struct.pack(
+                "<BBBBBBBB", 3, 1, 7, self.lg_k, self.set_lg,
+                self._WIRE_COMPACT, 0, self._MODE_SET | (tgt_code << 2),
+            )
+            out += struct.pack("<I", self.set_count)
+            return out + np.array(coupons, dtype="<u4").tobytes()
         regs = self.registers
-        regsf = regs.astype(np.float64)
-        kxq0 = float(np.power(2.0, -regsf[regs < 32]).sum())
-        kxq1 = float(np.power(2.0, -regsf[regs >= 32]).sum())
+        if self.kxq0 is not None:
+            # incremental halves from the sequential build / wire decode
+            # (`estimator.rs:89-105`) — authoritative to the last ulp
+            kxq0, kxq1 = self.kxq0, self.kxq1
+        else:
+            regsf = regs.astype(np.float64)
+            kxq0 = float(np.power(2.0, -regsf[regs < 32]).sum())
+            kxq1 = float(np.power(2.0, -regsf[regs >= 32]).sum())
         flags = self._WIRE_OOO if self.out_of_order else 0
         tgt = {"hll4": 0, "hll6": 1, "hll8": 2}[target]
         cur_min = 0
@@ -415,26 +685,35 @@ class HllSketch:
         ooo = bool(flags & HllSketch._WIRE_OOO)
         sk = HllSketch(lg_k, seed, out_of_order=True)
 
-        def _absorb_coupons(coupons: np.ndarray) -> None:
-            coupons = coupons[coupons != 0]
-            slot26 = (coupons & np.uint32(_KEY_MASK_26)).astype(np.int64)
-            value = (coupons >> np.uint32(26)).astype(np.uint8)
-            slot = slot26 & (sk.k - 1)
-            np.maximum.at(sk.registers, slot, value)
-
         if cur_mode == HllSketch._MODE_LIST:
             if preints != 2:
                 raise ValueError(f"LIST preamble ints {preints} != 2")
             n = 0 if empty else (state if compact else 1 << lg_arr)
+            if len(data) < 8 + 4 * n:
+                raise ValueError("truncated HLL LIST coupon array")
             coupons = np.frombuffer(data, dtype="<u4", count=n, offset=8)
-            _absorb_coupons(coupons.astype(np.uint32))
+            # preserve LIST mode: wire order IS insertion order
+            sk.mode = "list"
+            sk.out_of_order = False
+            sk.coupon_list = [int(c) for c in coupons if c]
         elif cur_mode == HllSketch._MODE_SET:
             if preints != 3:
                 raise ValueError(f"SET preamble ints {preints} != 3")
             (count,) = struct.unpack_from("<I", data, 8)
             n = count if compact else 1 << lg_arr
+            if len(data) < 12 + 4 * n:
+                raise ValueError("truncated HLL SET coupon array")
             coupons = np.frombuffer(data, dtype="<u4", count=n, offset=12)
-            _absorb_coupons(coupons.astype(np.uint32))
+            # preserve SET mode; compact decode re-inserts one by one
+            # (`hash_set.rs:106-121`), reproducing the probe layout
+            sk.mode = "set"
+            sk.out_of_order = False
+            sk.set_lg = lg_arr
+            sk.set_table = [0] * (1 << lg_arr)
+            sk.set_count = 0
+            for c in coupons:
+                if c:
+                    sk._set_insert(int(c))
         elif cur_mode == HllSketch._MODE_HLL:
             if preints != 10:
                 raise ValueError(f"HLL preamble ints {preints} != 10")
@@ -485,6 +764,7 @@ class HllSketch:
             else:
                 raise ValueError(f"invalid HLL target type {tgt}")
             sk.out_of_order = ooo
+            sk.kxq0, sk.kxq1 = kxq0, kxq1
             if not ooo:
                 sk.hip_accum = hip
         else:
@@ -501,6 +781,7 @@ class HllSketch:
     #        and the family-7 DS wire encode above is unchanged.
 
     def serialize(self) -> bytes:
+        self._ensure_dense()  # shuffle path is merge semantics
         nnz = int((self.registers != 0).sum())
         if 4 * nnz + 4 < self.k:
             slots = np.flatnonzero(self.registers)

@@ -131,9 +131,10 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
 
     @pandas_udf("binary")
     def hll_sketch_agg(vals: pd.Series) -> bytes:
-        sk = HllSketch(12)
-        # grouped-agg partials are merged → composite estimator anyway
-        sk.out_of_order = True
+        # grouped-agg partials are merged → composite estimator anyway;
+        # constructing out-of-order also keeps the vectorized dense
+        # absorb (the in-order path is the sequential reference ladder)
+        sk = HllSketch(12, out_of_order=True)
         _typed_update(sk, vals)
         return sk.serialize()
 
