@@ -1,26 +1,36 @@
-"""Frequent-items (Misra-Gries) sketch — reverse-purge semantics.
+"""Frequent-items (Misra-Gries) sketch — reverse-purge hash map port.
 
-Reimplements the query semantics of
-`datasketches/src/frequencies/sketch.rs` as a batch kernel:
+Round 4: the core is a faithful port of the reference's
+`reverse_purge_item_hash_map.rs` open-addressing table (previously a
+plain dict with a documented purge-sampling divergence — now closed;
+`tests/test_foreign_fixtures.py` gates byte parity against blobs the
+reference crate itself serialized):
 
-* state: ``{item: count}`` map (≤ max_map_size entries) + ``offset``
-  (the total weight subtracted by purges, `sketch.rs:372-385`);
-* update: add weights; when the map exceeds ``0.75 * M`` distinct
-  items, purge = subtract the median of the counts from all, drop
-  ``<= 0`` (`reverse_purge_item_hash_map.rs:98-146` — the reference
-  samples 1024 counts for the median; we take the exact median, a
-  documented simplification that only affects estimation-regime
-  accuracy, never the exact regime);
+* state: linear-probe table (keys/values/drift-states) growing ×2
+  from 2^3 up to max_map_size at 75% load, + ``offset`` (total weight
+  subtracted by purges, `sketch.rs:372-385`);
+* purge: upper median (select_nth at n/2) of the first ≤1024 active
+  slots in table order, saturating-subtracted from every count;
+  zero-count entries removed by backward-shift deletion
+  (`reverse_purge_item_hash_map.rs:98-146`);
+* hashing: murmur3 x64-128 h1, default update seed, over Rust `Hash`
+  feeds (i64 → 8 LE bytes, str → utf8 + 0xff terminator);
 * exact regime: with fewer than ``0.75 * M`` distinct items no purge
   ever happens, offset stays 0, and estimates/bounds are exact counts
   (`frequencies/mod.rs:43-63`) — the DuckDB-oracle-checked regime;
-* estimate/bounds: est = count + offset upper, LB = count, UB = count
+* estimate/bounds: est = count + offset, LB = count, UB = count
   + offset (`sketch.rs:161-189`);
-* merge: replay other's (item, count) pairs, offsets add
-  (`sketch.rs:282-295`);
+* merge: replay other's pairs in golden-stride iteration order
+  (`sketch.rs:282-295`, `ReversePurgeItemIter`);
+* serialization: table-scan order, the reference's
+  active_values()/active_keys() contract;
 * frequent_items: threshold query with NO_FALSE_POSITIVES (LB > t) /
   NO_FALSE_NEGATIVES (UB > t), sorted desc by estimate
   (`sketch.rs:317-370`).
+
+The Spark aggregation paths call ``update_batch`` (pre-aggregated,
+vectorized hashing) — one table insert per distinct item per batch;
+``update`` is the reference-exact per-item sequential path.
 """
 
 from __future__ import annotations
