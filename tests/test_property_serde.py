@@ -59,7 +59,15 @@ def test_frequencies_wire_roundtrip_any_input(items, weights):
     rt = FrequentItemsSketch.deserialize(sk.serialize("str"), "str")
     assert rt.counters == sk.counters
     assert rt.offset == sk.offset and rt.stream_weight == sk.stream_weight
-    assert rt.serialize("str") == sk.serialize("str")
+    # byte-stability is NOT part of the reference contract: deserialize
+    # rebuilds by re-inserting in wire (table-scan) order
+    # (`frequencies/sketch.rs:519-523`), and a probe run that wraps the
+    # table end can legally re-arrange under that order (the foreign
+    # fixtures pin byte parity against actual reference blobs, where it
+    # does hold). The contract here is the semantic fixpoint:
+    rt2 = FrequentItemsSketch.deserialize(rt.serialize("str"), "str")
+    assert rt2.counters == sk.counters
+    assert rt2.offset == sk.offset and rt2.stream_weight == sk.stream_weight
 
 
 @settings(max_examples=20, deadline=None)
