@@ -675,6 +675,12 @@ def deserialize_wire(data: bytes, seed: int = DEFAULT_UPDATE_SEED) -> CpcSketch:
             # sets late-zone surprising ones
             np.bitwise_xor.at(matrix, row, _U64(1) << col.astype(np.uint64))
 
+    if has_hip and num_coupons == 0:
+        # an empty blob carries no HIP block; a fresh sketch's kxp is k
+        # (`cpc/sketch.rs:126`) — leaving 0.0 (as the reference's own
+        # deserialize struct-literal does) makes the next update divide
+        # by zero, so restore the new() invariant instead
+        kxp = float(k)
     sk = CpcSketch(
         lg_k,
         seed,

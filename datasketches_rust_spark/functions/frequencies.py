@@ -55,6 +55,10 @@ def _item_hash_bytes(item) -> bytes:
     `str::hash` appends."""
     if isinstance(item, (int, np.integer)):
         v = int(item)
+        if not -(1 << 63) <= v < (1 << 64):
+            raise ValueError(
+                f"frequent-items int key {v} outside the reference's i64/u64 range"
+            )
         return struct.pack("<q", v) if v < (1 << 63) else struct.pack("<Q", v)
     return str(item).encode("utf-8") + b"\xff"
 
@@ -426,8 +430,15 @@ class FrequentItemsSketch:
                 raise ValueError(f"unsupported item type {item_type}")
         # rebuild into an lg_cur-sized probe table by inserting in wire
         # order (`deserialize_inner` pre-sizes, then adjust_or_put each)
+        lg_tbl = max(lg_cur, FrequentItemsSketch._LG_MIN_MAP_SIZE)
+        if n >= (1 << lg_tbl):
+            # a full probe table loops forever on the next missing-key
+            # probe; valid blobs are ≤75% loaded
+            raise ValueError(
+                f"frequencies item count {n} overflows 2^{lg_tbl} table"
+            )
         sk = FrequentItemsSketch(1 << lg_max)
-        sk._alloc(1 << max(lg_cur, FrequentItemsSketch._LG_MIN_MAP_SIZE))
+        sk._alloc(1 << lg_tbl)
         if items:
             hs = _hash_items(items)
             for item, c, h in zip(items, counts, hs.tolist()):

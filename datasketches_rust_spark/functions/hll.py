@@ -317,22 +317,22 @@ class HllSketch:
             if c:
                 self._set_insert(c)
 
-    def _promote_to_dense(self, coupons_in_order: list) -> None:
-        """`hll/sketch.rs:422-449`: insert the container's coupons into
-        a fresh array (incrementally evolving kxq), then overwrite the
-        HIP accumulator with the coupon estimate."""
-        count = len(coupons_in_order)
-        regs = bytearray(self.k)
-        kxq0, kxq1 = float(self.k), 0.0
-        hip = 0.0
-        k = self.k
+    @staticmethod
+    def _dense_coupon_loop(
+        regs: bytearray, coupons, k: int, kxq0: float, kxq1: float, hip: float
+    ) -> tuple[float, float, float]:
+        """The reference's per-coupon dense register update
+        (`array8.rs:81-103` + `estimator.rs:64-105`): on each
+        register-raising event, hip += k/kxq BEFORE the kxq halves are
+        adjusted — the single bit-exact float schedule shared by
+        promotion and the streaming tail."""
         kmask = k - 1
-        for c in coupons_in_order:
+        for c in coupons:
             slot = (c & _KEY_MASK_26) & kmask
             v = c >> 26
             old = regs[slot]
             if v > old:
-                hip += k / (kxq0 + kxq1)  # discarded below, like the reference
+                hip += k / (kxq0 + kxq1)
                 if old < 32:
                     kxq0 -= 2.0**-old
                 else:
@@ -342,6 +342,19 @@ class HllSketch:
                 else:
                     kxq1 += 2.0**-v
                 regs[slot] = v
+        return kxq0, kxq1, hip
+
+    def _promote_to_dense(self, coupons_in_order: list) -> None:
+        """`hll/sketch.rs:422-449`: insert the container's coupons into
+        a fresh array (incrementally evolving kxq), then overwrite the
+        HIP accumulator with the coupon estimate."""
+        count = len(coupons_in_order)
+        regs = bytearray(self.k)
+        # the hip accumulated during promotion is discarded below,
+        # exactly like the reference's set_hip_accum overwrite
+        kxq0, kxq1, _hip = self._dense_coupon_loop(
+            regs, coupons_in_order, self.k, float(self.k), 0.0, 0.0
+        )
         self.registers = np.frombuffer(bytes(regs), dtype=np.uint8).copy()
         self.kxq0, self.kxq1 = kxq0, kxq1
         self.hip_accum = _coupon_estimate(count)  # set_hip_accum
@@ -391,25 +404,9 @@ class HllSketch:
             regsf = self.registers.astype(np.float64)
             self.kxq0 = float(np.power(2.0, -regsf[self.registers < 32]).sum())
             self.kxq1 = float(np.power(2.0, -regsf[self.registers >= 32]).sum())
-        kxq0, kxq1 = self.kxq0, self.kxq1
-        hip = self.hip_accum
-        k = self.k
-        kmask = k - 1
-        for c in rest:
-            slot = (c & _KEY_MASK_26) & kmask
-            v = c >> 26
-            old = regs[slot]
-            if v > old:
-                hip += k / (kxq0 + kxq1)
-                if old < 32:
-                    kxq0 -= 2.0**-old
-                else:
-                    kxq1 -= 2.0**-old
-                if v < 32:
-                    kxq0 += 2.0**-v
-                else:
-                    kxq1 += 2.0**-v
-                regs[slot] = v
+        kxq0, kxq1, hip = self._dense_coupon_loop(
+            regs, rest, self.k, self.kxq0, self.kxq1, self.hip_accum
+        )
         self.registers = np.frombuffer(bytes(regs), dtype=np.uint8).copy()
         self.kxq0, self.kxq1 = kxq0, kxq1
         self.hip_accum = hip
@@ -701,6 +698,12 @@ class HllSketch:
                 raise ValueError(f"SET preamble ints {preints} != 3")
             (count,) = struct.unpack_from("<I", data, 8)
             n = count if compact else 1 << lg_arr
+            if count >= (1 << lg_arr):
+                # a full probe table would loop forever on the next
+                # miss; valid blobs are ≤75% loaded (`hll/sketch.rs:196`)
+                raise ValueError(
+                    f"HLL SET coupon count {count} overflows 2^{lg_arr} table"
+                )
             if len(data) < 12 + 4 * n:
                 raise ValueError("truncated HLL SET coupon array")
             coupons = np.frombuffer(data, dtype="<u4", count=n, offset=12)

@@ -43,17 +43,9 @@ def generate_planted_substring_df(
 ) -> DataFrame:
     """(doc_id long, text string) — ``n_rows`` must be even."""
     assert n_rows % 2 == 0, "n_rows must be even (planted pairs)"
-    n_pairs = n_rows // 2
-    partitions = max(1, min(partitions, n_pairs))
-    base, extra = divmod(n_pairs, partitions)
-    slices, start = [], 0
-    for p in range(partitions):
-        cnt = base + (1 if p < extra else 0)
-        slices.append((start, cnt))
-        start += cnt
-    plan = spark.createDataFrame(
-        spark.sparkContext.parallelize(slices, partitions), "start long, cnt int"
-    )
+    from .mediagen import _pair_slices
+
+    plan = _pair_slices(spark, n_rows // 2, partitions)
 
     def gen(batches):
         for pdf in batches:

@@ -217,3 +217,56 @@ def test_tdigest_foreign_decode_quantile_reencode():
     # centroids must reproduce the reference's interpolation
     assert math.isclose(td.quantile(0.5), entry["estimate"], rel_tol=1e-12)
     assert td.serialize() == blob
+
+
+# ---------------------------------------------------------------------------
+# decode-robustness guards (round-4 review): corrupt blobs must raise,
+# not hang a probe loop or poison later updates
+# ---------------------------------------------------------------------------
+
+
+def test_corrupt_set_blob_count_overflow_raises():
+    import struct
+
+    from datasketches_rust_spark.functions.hll import HllSketch
+
+    # SET preamble claiming 40 coupons in a 2^5 table
+    hdr = (
+        struct.pack("<BBBBBBBB", 3, 1, 7, 11, 5, 8, 0, 1)
+        + struct.pack("<I", 40)
+        + np.arange(1, 41, dtype="<u4").tobytes()
+    )
+    with pytest.raises(ValueError, match="overflows"):
+        HllSketch.deserialize_wire(bytes(hdr))
+
+
+def test_corrupt_frequencies_lg_cur_overflow_raises():
+    from datasketches_rust_spark.functions.frequencies import FrequentItemsSketch
+
+    fi = FrequentItemsSketch(64)
+    for i in range(20):
+        fi.update(i, 1)
+    blob = bytearray(fi.serialize("i64"))
+    blob[4] = 3  # lie: lg_cur=3 (8 slots) for 20 items
+    with pytest.raises(ValueError, match="overflows"):
+        FrequentItemsSketch.deserialize(bytes(blob), "i64")
+
+
+def test_empty_unmerged_cpc_decode_then_update():
+    from datasketches_rust_spark.functions.cpc import CpcSketch
+    from datasketches_rust_spark.functions.cpc_wire import (
+        deserialize_wire,
+        serialize_wire,
+    )
+
+    sk = deserialize_wire(serialize_wire(CpcSketch(11)))
+    assert not sk.merge_flag
+    sk.update_u64s(np.arange(10, dtype=np.uint64))  # must not divide by zero
+    assert 9.0 < sk.estimate() < 11.0
+
+
+def test_frequencies_int_key_out_of_range_raises():
+    from datasketches_rust_spark.functions.frequencies import FrequentItemsSketch
+
+    with pytest.raises(ValueError, match="i64/u64 range"):
+        FrequentItemsSketch(64).update(1 << 64, 1)
