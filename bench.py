@@ -224,6 +224,7 @@ def _scaling_run(cpus: int, path: str, warm_path: str) -> dict[str, float]:
 
 
 def main() -> None:
+    t_start = time.monotonic()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -267,97 +268,120 @@ def main() -> None:
         "queries_all_passes": samples,
     }
 
-    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "100000"))
-        path = _gen_image_input(rows)
-        warm_path = _gen_image_input(5000)
-        # N → 4N parallelism (north_rule). Levels 2→8, not 8→32: a pure-
-        # CPU probe measures ~14.5 effective cores on this host (32
-        # advertised; SMT/host capping — see BASELINE.md), so 8→32 has a
-        # hardware speedup ceiling of ~2.2x and cannot evidence job
-        # scaling. 2→8 stays inside the real-core envelope.
-        levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
-        lo, hi = int(levels[0]), int(levels[1])
-        # INTERLEAVE the level runs (hi, lo, hi, lo): the efficiency is
-        # a RATIO, and this host's throttling phases (BASELINE.md) last
-        # minutes — running all lo passes then all hi passes lets one
-        # phase hit a single level and skew the ratio 2-5x; interleaving
-        # puts both levels inside the same phase windows. Min per level
-        # across rounds, as before.
-        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
-        r_lo = {"signature_sec": float("inf"), "pipeline_sec": float("inf")}
-        r_hi = {"signature_sec": float("inf"), "pipeline_sec": float("inf")}
-        os.environ.setdefault("SPARK_GRAFT_SCALE_PASSES", "1")
-        round_pairs: list[dict[str, dict[str, float]]] = []
+    try:
+        if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+            _run_scaling(result, detail, t_start)
+    except Exception as e:  # noqa: BLE001
+        # a scaling failure must never eat the headline record
+        result["scaling_error"] = f"{type(e).__name__}: {e}"[:160]
 
-        def _one_round() -> None:
-            pair = {}
-            for level, key in ((hi, "hi"), (lo, "lo")):
-                # the hi level's timed stages are ~4x shorter, so a
-                # single host-noise phase (BASELINE.md) inflates them
-                # proportionally more AND an extra sample costs ~4x
-                # less — take one extra pass at hi only
-                os.environ["_SPARK_GRAFT_SCALE_EXTRA_PASSES"] = (
-                    "1" if level == hi else "0"
-                )
-                pair[key] = _scaling_run(level, path, warm_path)
-            round_pairs.append(pair)
-            r_hi["signature_sec"] = min(r_hi["signature_sec"], pair["hi"]["signature_sec"])
-            r_hi["pipeline_sec"] = min(r_hi["pipeline_sec"], pair["hi"]["pipeline_sec"])
-            r_lo["signature_sec"] = min(r_lo["signature_sec"], pair["lo"]["signature_sec"])
-            r_lo["pipeline_sec"] = min(r_lo["pipeline_sec"], pair["lo"]["pipeline_sec"])
+    _emit(result, detail)
 
-        def _round_effs(stage: str) -> list[float]:
-            # efficiency is a RATIO, so it is computed WITHIN a round:
-            # the two levels of one round run back-to-back inside the
-            # same phase window (that is what the interleaving is for),
-            # whereas a cross-round min can pair a phase-deflated lo
-            # with a clean hi and report a deficit no clean measurement
-            # ever showed. Best round = the cleanest paired experiment;
-            # all rounds are reported alongside it.
-            return [
-                (p["lo"][stage] / p["hi"][stage]) / (hi / lo) for p in round_pairs
-            ]
 
-        for _ in range(max(1, rounds)):
-            _one_round()
-        # adaptive rescue rounds: a below-gate best-round ratio after
-        # the planned rounds is far more often a both-sided phase
-        # artifact than an engine property (measured 0.72 / 0.93 /
-        # 1.03 for the same binary in one afternoon) — spend up to
-        # $SPARK_GRAFT_SCALE_RESCUE extra rounds ONLY in that case.
-        for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_RESCUE", "1"))):
-            if max(_round_effs("pipeline_sec")) >= 0.82 and max(
-                _round_effs("signature_sec")
-            ) >= 0.82:
-                break
-            _one_round()
-        sig_eff = max(_round_effs("signature_sec"))
-        pipe_eff = max(_round_effs("pipeline_sec"))
-        result["signature_throughput"] = {
-            "rows": rows,
-            "images_per_sec": round(rows / r_hi["signature_sec"], 1),
-            "at_level": hi,
-        }
-        # images/sec at each level = rows / *_sec — derivable, so the
-        # stdout line carries only the seconds + efficiencies
-        result["scaling"] = {
-            "rows": rows,
-            "levels": [lo, hi],
-            "signature_sec": [round(r_lo["signature_sec"], 2), round(r_hi["signature_sec"], 2)],
-            "signature_efficiency": round(sig_eff, 3),
-            "pipeline_sec": [round(r_lo["pipeline_sec"], 2), round(r_hi["pipeline_sec"], 2)],
-            "pipeline_efficiency": round(pipe_eff, 3),
-            # every paired round, for transparency about host phases
-            "per_round_signature_efficiency": [
-                round(e, 3) for e in _round_effs("signature_sec")
-            ],
-            "per_round_pipeline_efficiency": [
-                round(e, 3) for e in _round_effs("pipeline_sec")
-            ],
-        }
-        detail["scaling_round_pairs"] = round_pairs
+def _run_scaling(result: dict, detail: dict, t_start: float) -> None:
+    rows = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "100000"))
+    path = _gen_image_input(rows)
+    warm_path = _gen_image_input(5000)
+    # N → 4N parallelism (north_rule). Levels 2→8, not 8→32: a pure-
+    # CPU probe measures ~14.5 effective cores on this host (32
+    # advertised; SMT/host capping — see BASELINE.md), so 8→32 has a
+    # hardware speedup ceiling of ~2.2x and cannot evidence job
+    # scaling. 2→8 stays inside the real-core envelope.
+    levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
+    lo, hi = int(levels[0]), int(levels[1])
+    # INTERLEAVE the level runs (hi, lo, hi, lo): the efficiency is
+    # a RATIO, and this host's throttling phases (BASELINE.md) last
+    # minutes — running all lo passes then all hi passes lets one
+    # phase hit a single level and skew the ratio 2-5x; interleaving
+    # puts both levels inside the same phase windows. Min per level
+    # across rounds, as before.
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+    r_lo = {"signature_sec": float("inf"), "pipeline_sec": float("inf")}
+    r_hi = {"signature_sec": float("inf"), "pipeline_sec": float("inf")}
+    os.environ.setdefault("SPARK_GRAFT_SCALE_PASSES", "1")
+    round_pairs: list[dict[str, dict[str, float]]] = []
 
+    def _one_round() -> None:
+        pair = {}
+        for level, key in ((hi, "hi"), (lo, "lo")):
+            # the hi level's timed stages are ~4x shorter, so a
+            # single host-noise phase (BASELINE.md) inflates them
+            # proportionally more AND an extra sample costs ~4x
+            # less — take one extra pass at hi only
+            os.environ["_SPARK_GRAFT_SCALE_EXTRA_PASSES"] = (
+                "1" if level == hi else "0"
+            )
+            pair[key] = _scaling_run(level, path, warm_path)
+        round_pairs.append(pair)
+        r_hi["signature_sec"] = min(r_hi["signature_sec"], pair["hi"]["signature_sec"])
+        r_hi["pipeline_sec"] = min(r_hi["pipeline_sec"], pair["hi"]["pipeline_sec"])
+        r_lo["signature_sec"] = min(r_lo["signature_sec"], pair["lo"]["signature_sec"])
+        r_lo["pipeline_sec"] = min(r_lo["pipeline_sec"], pair["lo"]["pipeline_sec"])
+
+    def _round_effs(stage: str) -> list[float]:
+        # efficiency is a RATIO, so it is computed WITHIN a round:
+        # the two levels of one round run back-to-back inside the
+        # same phase window (that is what the interleaving is for),
+        # whereas a cross-round min can pair a phase-deflated lo
+        # with a clean hi and report a deficit no clean measurement
+        # ever showed. Best round = the cleanest paired experiment;
+        # all rounds are reported alongside it.
+        return [
+            (p["lo"][stage] / p["hi"][stage]) / (hi / lo) for p in round_pairs
+        ]
+
+    # global wall-clock guard: a degraded host phase can stretch one
+    # scaling round to 8-10 min; if the whole bench is about to
+    # outlive the driver's patience, printing the JSON with the
+    # rounds already measured beats being killed mid-round and
+    # recording NOTHING (the failure mode that nulled BENCH_r03)
+    wall_budget = float(os.environ.get("SPARK_GRAFT_WALL_BUDGET_SEC", "2100"))
+    for i in range(max(1, rounds)):
+        if i > 0 and time.monotonic() - t_start > wall_budget:
+            break
+        _one_round()
+    # adaptive rescue rounds: a below-gate best-round ratio after
+    # the planned rounds is far more often a both-sided phase
+    # artifact than an engine property (measured 0.72 / 0.93 /
+    # 1.03 for the same binary in one afternoon) — spend up to
+    # $SPARK_GRAFT_SCALE_RESCUE extra rounds ONLY in that case,
+    # budget permitting.
+    for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_RESCUE", "1"))):
+        if max(_round_effs("pipeline_sec")) >= 0.82 and max(
+            _round_effs("signature_sec")
+        ) >= 0.82:
+            break
+        if time.monotonic() - t_start > wall_budget:
+            break
+        _one_round()
+    sig_eff = max(_round_effs("signature_sec"))
+    pipe_eff = max(_round_effs("pipeline_sec"))
+    result["signature_throughput"] = {
+        "rows": rows,
+        "images_per_sec": round(rows / r_hi["signature_sec"], 1),
+        "at_level": hi,
+    }
+    # images/sec at each level = rows / *_sec — derivable, so the
+    # stdout line carries only the seconds + efficiencies
+    result["scaling"] = {
+        "rows": rows,
+        "levels": [lo, hi],
+        "signature_sec": [round(r_lo["signature_sec"], 2), round(r_hi["signature_sec"], 2)],
+        "signature_efficiency": round(sig_eff, 3),
+        "pipeline_sec": [round(r_lo["pipeline_sec"], 2), round(r_hi["pipeline_sec"], 2)],
+        "pipeline_efficiency": round(pipe_eff, 3),
+        # every paired round, for transparency about host phases
+        "per_round_signature_efficiency": [
+            round(e, 3) for e in _round_effs("signature_sec")
+        ],
+        "per_round_pipeline_efficiency": [
+            round(e, 3) for e in _round_effs("pipeline_sec")
+        ],
+    }
+    detail["scaling_round_pairs"] = round_pairs
+
+
+def _emit(result: dict, detail: dict) -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as f:
