@@ -223,11 +223,25 @@ def _scaling_run(cpus: int, path: str, warm_path: str) -> dict[str, float]:
     return {"signature_sec": sig_sec, "pipeline_sec": pipe_sec}
 
 
+def _host_fault_probe() -> float:
+    """Seconds to first-touch 128 MB of fresh pages — the documented
+    host reclaim-phase signal (clean ≈ 0.05 s; degraded phases measure
+    ~12 s, i.e. ~11 MB/s). Recorded with every bench artifact so a
+    reader can tell host weather from engine change."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.empty(128 * 1024 * 1024 // 8, dtype=np.float64)
+    a[::512] = 1.0  # touch every 4K page
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     t_start = time.monotonic()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    probe_before = _host_fault_probe()
 
     if os.environ.get("SPARK_GRAFT_HEADLINE", "1") != "0":
         spark = make_spark(cpus)
@@ -252,6 +266,10 @@ def main() -> None:
         # BENCH artifact was truncated to parsed:null exactly this way)
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
+        # host weather stamps: s to first-touch 128 MB before/after the
+        # headline (clean ≈ 0.05; reclaim phases measure seconds) — read
+        # absolute totals in their light
+        "host_fault_s": [probe_before, _host_fault_probe()],
     }
     # full-precision detail — all passes per query (the unselected
     # distribution alongside the min), medians, env — lands in the
