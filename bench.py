@@ -120,6 +120,14 @@ def run_queries(
     # cold pass-1 measured ~340 s and the cutoff denied every query its
     # warm pass (the recorded total tripled for purely-cold reasons).
     budget = float(os.environ.get("SPARK_GRAFT_PASS_BUDGET_SEC", "420"))
+    # weather-adaptive headroom: in a severe reclaim phase (probe >5 s
+    # for 128 MB; measured up to 26 s) the cold pass alone can exceed
+    # the clean-weather budget, and cutting the warm pass then records
+    # the least-representative number. Bounded so the driver's own
+    # timeout still clears.
+    probe = float(os.environ.get("_SPARK_GRAFT_PROBE_S", "0"))
+    if probe > 5.0:
+        budget += min(300.0, 30.0 * probe)
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for p in range(max(1, passes)):
@@ -242,6 +250,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
     probe_before = _host_fault_probe()
+    os.environ["_SPARK_GRAFT_PROBE_S"] = str(probe_before)
 
     if os.environ.get("SPARK_GRAFT_HEADLINE", "1") != "0":
         spark = make_spark(cpus)
