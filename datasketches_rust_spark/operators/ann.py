@@ -254,14 +254,16 @@ def cosine_pairs_exact(
     import pandas as pd
 
     spark = df.sparkSession
-    n = df.count()
-    if n > max_rows:
+    # one job, not count()+collect(): limit(max_rows+1) bounds driver
+    # memory exactly like the count guard while halving the fixed
+    # job-scheduling overhead of this small-corpus path
+    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
-            f"cosine_pairs_exact collects the corpus at the driver; {n} rows "
-            f"exceeds max_rows={max_rows} — use embedding_neardup_pairs (LSH) "
-            "with a selective band config at this scale"
+            f"cosine_pairs_exact collects the corpus at the driver; >{max_rows} "
+            f"rows exceeds max_rows={max_rows} — use embedding_neardup_pairs "
+            "(LSH) with a selective band config at this scale"
         )
-    rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows])
     mat = np.stack([np.asarray(r[1], np.float64) for r in rows])
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
