@@ -86,7 +86,10 @@ def _q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     by keep-one-per-cluster, and the duplicate fraction — computed off
     the same exact-Jaccard clustering the `neardup_clusters_exact`
     oracle value-checks."""
+    from datasketches_rust_spark.functions.selfcheck import minhash_kernel_gates
+
     clusters = _q_neardup_clusters_exact(spark, sf_dir)
+    g = minhash_kernel_gates()
     return clusters.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("cluster_id").alias("n_clusters"),
@@ -96,6 +99,11 @@ def _q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("dup_frac"),
+        # round-4 folded gates: the vectorized MinHash kernel equals
+        # the single-threaded oracle and obeys the partial/final merge
+        # law — the signature stage under every near-dup query here
+        F.lit(g["minhash_kernel_ok"]).alias("minhash_kernel_ok"),
+        F.lit(g["minhash_merge_ok"]).alias("minhash_merge_ok"),
     )
 
 
@@ -109,9 +117,22 @@ def _q_theta_distinct_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_theta_union_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global theta union vs COUNT DISTINCT + folded serde gates
+    (round 4): legacy v1/v2 decode (`theta/sketch.rs:672-775`) and the
+    every-family torn-blob rejection guards were pytest-only; their
+    deterministic booleans (functions/selfcheck.py) now ride the
+    sweep hash alongside the union result whose blobs travel the
+    same wire."""
+    from datasketches_rust_spark.functions.selfcheck import theta_serde_gates
+
     orders = _read(spark, sf_dir, "orders")
     out = theta_distinct_global(orders, "o_custkey", ThetaConfig(lg_k=15))
-    return out.select(F.col("distinct_estimate").cast("long").alias("distinct_custkeys"))
+    g = theta_serde_gates()
+    return out.select(
+        F.col("distinct_estimate").cast("long").alias("distinct_custkeys"),
+        F.lit(g["v1v2_ok"]).alias("v1v2_ok"),
+        F.lit(g["torn_reject_ok"]).alias("torn_reject_ok"),
+    )
 
 
 def _q_theta_distinct_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,10 +210,20 @@ def _q_theta_estimation_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_hll_estimation_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL in TRUE estimation mode (composite estimator above the
-    linear-counting crossover): lg_k=10 over ~15k distinct keys."""
+    linear-counting crossover): lg_k=10 over ~15k distinct keys.
+    Round 4 folds the HIP-estimator and HLL8/6/4 serde-mode gates
+    (functions/selfcheck.py; reference accuracy contract
+    `hll_update_test.rs:36-43,91-95`) into the row."""
+    from datasketches_rust_spark.functions.selfcheck import hll_estimator_gates
+
     li = _read(spark, sf_dir, "lineitem")
     bounds = hll_estimate_bounds_global(li, "l_orderkey", lg_k=10, num_std_dev=3)
-    return _estimation_accuracy_frame(li, "l_orderkey", bounds, rel_gate=0.12)
+    g = hll_estimator_gates()
+    return _estimation_accuracy_frame(li, "l_orderkey", bounds, rel_gate=0.12).select(
+        "*",
+        F.lit(g["hip_ok"]).alias("hip_ok"),
+        F.lit(g["serde_modes_ok"]).alias("serde_modes_ok"),
+    )
 
 
 def _q_cpc_estimation_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,11 +262,26 @@ def _q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tdigest_price_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-maintained digest fields vs SQL + folded self-check
+    gates (round 4): cdf/pmf and freeze/unfreeze were pytest-only; the
+    deterministic gate booleans (functions/selfcheck.py) now travel
+    through the sweep hash, so a regression in the rank path or the
+    frozen-state contract flips a driver-visible column."""
+    from datasketches_rust_spark.functions.selfcheck import tdigest_query_gates
+
     li = _read(spark, sf_dir, "lineitem")
     out = tdigest_stats(li, "l_extendedprice", quantiles=(0.5, 0.9))
+    g = tdigest_query_gates()
     # min/max/total_weight are exactly maintained (`tdigest/sketch.rs:
     # 171-183, 214-216`) → oracle-checkable; quantiles are not
-    return out.select("min_value", "max_value", "total_weight")
+    return out.select(
+        "min_value",
+        "max_value",
+        "total_weight",
+        F.lit(g["cdf_ok"]).alias("cdf_ok"),
+        F.lit(g["pmf_ok"]).alias("pmf_ok"),
+        F.lit(g["freeze_ok"]).alias("freeze_ok"),
+    )
 
 
 def _q_tdigest_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,23 +313,47 @@ def _q_tdigest_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_countmin_suppkey_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min weighted totals vs SQL + folded halve/decay gates
+    (round 4): counter maintenance (`countmin/sketch.rs:427-458`) was
+    pytest-only; the deterministic booleans now ride the sweep hash."""
+    from datasketches_rust_spark.functions.selfcheck import (
+        countmin_maintenance_gates,
+    )
+
     li = _read(spark, sf_dir, "lineitem").select(
         "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
     )
     out = countmin_weights_by_key(li, "l_suppkey", "qty", num_hashes=3, num_buckets=16384)
+    g = countmin_maintenance_gates()
     # collision-free config at this scale → exact (verified vs oracle)
-    return out.select(F.col("l_suppkey").alias("suppkey"), F.col("est_weight").alias("total_qty"))
+    return out.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("est_weight").alias("total_qty"),
+        F.lit(g["halve_ok"]).alias("halve_ok"),
+        F.lit(g["decay_ok"]).alias("decay_ok"),
+    )
 
 
 def _q_bloom_custkey_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join membership vs the IN-subquery oracle + folded
+    set-algebra gates (round 4): intersect/invert/stats/
+    contains_and_insert (`bloom/sketch.rs:118-284`) were pytest-only;
+    the deterministic booleans now ride the sweep hash."""
+    from datasketches_rust_spark.functions.selfcheck import bloom_algebra_gates
+
     orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     cust = _read(spark, sf_dir, "customer")
     blob = bloom_build(orders, "o_custkey", max_items=200_000, fpp=1e-9)
+    g = bloom_algebra_gates()
     # fpp 1e-9 on <= ~100k probes → deterministic no-false-positive
     # regime (verified vs the semi-join oracle); no false negatives by
     # construction (`bloom/sketch.rs` membership contract)
     return bloom_semi_filter(cust, "c_custkey", blob).select(
-        F.col("c_custkey").alias("custkey")
+        F.col("c_custkey").alias("custkey"),
+        F.lit(g["intersect_ok"]).alias("intersect_ok"),
+        F.lit(g["invert_ok"]).alias("invert_ok"),
+        F.lit(g["stats_ok"]).alias("stats_ok"),
+        F.lit(g["cai_ok"]).alias("cai_ok"),
     )
 
 
@@ -834,6 +904,7 @@ def _q_cpc_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT, which the oracle recomputes independently (measured max
     rel err on the fixed data: 0.55%% at sf0.01; the reference's own
     accuracy contract is ~2%% at this k, `cpc_update_test.rs:25`)."""
+    from datasketches_rust_spark.functions.selfcheck import cpc_wrapper_gates
     from datasketches_rust_spark.operators.sketch_aggs import cpc_distinct_by_key
 
     ev = _read(spark, sf_dir, "events")
@@ -841,12 +912,16 @@ def _q_cpc_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
+    g = cpc_wrapper_gates()
     return est.join(exact, "event_type").select(
         "event_type",
         "exact_distinct",
         (
             F.abs(F.col("cpc_estimate") / F.col("exact_distinct") - 1) < F.lit(0.05)
         ).alias("rel_err_ok"),
+        # folded round-4 gate: CpcWrapper's O(header) estimate must
+        # equal the full FM85 decode's across flavors (`cpc/wrapper.rs`)
+        F.lit(g["wrapper_ok"]).alias("wrapper_ok"),
     )
 
 
@@ -969,7 +1044,9 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY c_nationkey
         """,
         "theta_union_orders": """
-            SELECT COUNT(DISTINCT o_custkey) AS distinct_custkeys FROM orders
+            SELECT COUNT(DISTINCT o_custkey) AS distinct_custkeys,
+                   TRUE AS v1v2_ok, TRUE AS torn_reject_ok
+            FROM orders
         """,
         "theta_distinct_prices": """
             SELECT COUNT(DISTINCT l_extendedprice) AS distinct_prices FROM lineitem
@@ -999,7 +1076,9 @@ def oracle_sql() -> dict[str, str]:
         "hll_estimation_accuracy": """
             SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
                    TRUE AS within_bounds,
-                   TRUE AS rel_err_ok
+                   TRUE AS rel_err_ok,
+                   TRUE AS hip_ok,
+                   TRUE AS serde_modes_ok
             FROM lineitem
         """,
         "cpc_estimation_accuracy": """
@@ -1025,7 +1104,8 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_price_minmax": """
             SELECT MIN(l_extendedprice) AS min_value,
                    MAX(l_extendedprice) AS max_value,
-                   COUNT(*) AS total_weight
+                   COUNT(*) AS total_weight,
+                   TRUE AS cdf_ok, TRUE AS pmf_ok, TRUE AS freeze_ok
             FROM lineitem
         """,
         "tdigest_quantile_accuracy": """
@@ -1041,7 +1121,8 @@ def oracle_sql() -> dict[str, str]:
         # Spark's int64 but hash-different in the driver's typed compare.
         "countmin_suppkey_weights": """
             SELECT l_suppkey AS suppkey,
-                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+                   TRUE AS halve_ok, TRUE AS decay_ok
             FROM lineitem GROUP BY l_suppkey
         """,
         # composite-estimator linear-counting regime at lg_k=16 →
@@ -1052,7 +1133,10 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY c_nationkey
         """,
         "bloom_custkey_members": """
-            SELECT c_custkey AS custkey FROM customer
+            SELECT c_custkey AS custkey,
+                   TRUE AS intersect_ok, TRUE AS invert_ok,
+                   TRUE AS stats_ok, TRUE AS cai_ok
+            FROM customer
             WHERE c_custkey IN (
                 SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
@@ -1158,7 +1242,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT)
                        AS n_duplicates,
                    ROUND((COUNT(*) - COUNT(DISTINCT cluster_id))::DOUBLE
-                       / COUNT(*)::DOUBLE, 6) AS dup_frac
+                       / COUNT(*)::DOUBLE, 6) AS dup_frac,
+                   TRUE AS minhash_kernel_ok,
+                   TRUE AS minhash_merge_ok
             FROM clusters
         """,
         # image-invariant oracles: the Spark side computes the booleans
@@ -1237,7 +1323,8 @@ def oracle_sql() -> dict[str, str]:
         "cpc_distinct_users": """
             SELECT event_type,
                    COUNT(DISTINCT user_id) AS exact_distinct,
-                   TRUE AS rel_err_ok
+                   TRUE AS rel_err_ok,
+                   TRUE AS wrapper_ok
             FROM events GROUP BY event_type
         """,
         "neardup_clusters_exact": """
