@@ -74,9 +74,10 @@ def substring_match_pairs(
 
     # one fingerprint pass on all cores (a one-row-group parquet scan
     # is unsplittable → repartition first), checkpointed because
-    # candidate_pairs consumes the banded frame three times (count
-    # pre-pass + clique + chain) — without the checkpoint the UDF
-    # re-ran for each, measured 2/3 of the query's wall time at sf0.1
+    # candidate_pairs consumes the banded frame at least twice (size
+    # probe + clique; + chain strata when a bucket is hot) — without
+    # the checkpoint the UDF re-ran for each, measured 2/3 of the
+    # query's wall time at sf0.1
     fps = (
         ensure_min_partitions(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
         .select("_id", fingerprint_col(text_col, k, w).alias("fps"))

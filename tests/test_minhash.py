@@ -188,3 +188,25 @@ def test_candidate_pairs_hot_bucket_stratification(spark):
     # landing on one task
     plan = candidate_pairs(banded, cfg)._jdf.queryExecution().toString()
     assert "_salt" in plan
+
+
+def test_candidate_pairs_adaptive_fast_path(spark):
+    """No bucket over cap → the size probe routes to the clique-only
+    plan: no salted chain strata, no sizes join back (round 4)."""
+    from datasketches_rust_spark.config import DedupConfig
+    from datasketches_rust_spark.operators.lsh import candidate_pairs
+
+    cfg = DedupConfig()
+    rows = [(i, 1, 222) for i in (10, 11, 12, 13)]
+    rows += [(i, 0, 111) for i in (20, 21)]
+    banded = spark.createDataFrame(rows, "_id long, band_id int, band_key long")
+    out = candidate_pairs(banded, cfg)
+    pairs = {(a, b): c for a, b, c in out.toPandas().itertuples(index=False)}
+    assert pairs == {
+        (10, 11): 0, (10, 12): 0, (10, 13): 0,
+        (11, 12): 0, (11, 13): 0, (12, 13): 0,
+        (20, 21): 0,
+    }
+    plan = out._jdf.queryExecution().toString()
+    assert "_salt" not in plan  # chain strata absent
+    assert "_nsalts" not in plan
