@@ -53,6 +53,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_neardup_text_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship MinHash-LSH near-dup clustering. Oracle (round 4): the
+    exact word-3-gram-Jaccard transitive closure — at the pinned
+    config the LSH clusters equal `neardup_clusters_exact`'s on every
+    testdata scale (see _NEARDUP_CLUSTERS_SQL)."""
     docs = _read(spark, sf_dir, "documents")
     return near_dup_text_clusters(docs, "doc_id", "text").select(
         F.col("id").alias("doc_id"), F.col("cluster_id")
@@ -553,7 +557,10 @@ def _image_table(spark: SparkSession, n_rows: int = 400) -> DataFrame:
 
 def _q_multimodal_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship over the image+caption table: caption-MinHash
-    edges ∪ phash-Hamming edges → one CC pass → (image_id, cluster_id)."""
+    edges ∪ phash-Hamming edges → one CC pass → (image_id, cluster_id).
+    Oracle (round 4): the planted-cluster formula — the fused-LSH
+    output equals `multimodal_clusters_exact`'s exact-edge output on
+    the fixed 400-image fixture (see _MULTIMODAL_CLUSTERS_SQL)."""
     from datasketches_rust_spark.operators.dedup import near_dup_multimodal_clusters
 
     tbl = _image_table(spark)
@@ -1033,8 +1040,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Shared cluster-assignment oracle: exact word-3-gram Jaccard (>= 0.5)
+# edges + recursive-CTE transitive closure, min-id component label.
+# Used by BOTH `neardup_clusters_exact` (whose Spark side computes the
+# exact edges) and `neardup_text_clusters` (the MinHash-LSH pipeline):
+# at the pinned (seed, shingle, band) config the LSH plan's clusters
+# equal the exact clusters on every testdata scale (verified identical
+# at sf0.001/0.01/0.1) — the same deterministic-recall argument that
+# oracle-backs `embedding_neardup_lsh` (docstring there). The miss
+# probability for a >= 0.5-Jaccard pair under (b=32, r=4) banding is
+# (1 - J^4)^32 <= 0.127 per pair in theory, but the corpus's planted
+# duplicate pairs all sit far above threshold where the bound is ~0;
+# the data is fixed, so the equality is a checked constant, not a
+# per-run gamble.
+_NEARDUP_CLUSTERS_SQL = """
+    WITH RECURSIVE tok_arrays AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+        FROM documents
+    ),
+    toks AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(arr) >= 3
+                    THEN arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                    ELSE array_to_string(arr, ' ') END AS tok
+        FROM tok_arrays,
+             UNNEST(CASE WHEN len(arr) >= 3
+                         THEN range(1, len(arr) - 1)
+                         ELSE [1] END) AS t(i)
+        WHERE CASE WHEN len(arr) >= 3
+                   THEN arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                   ELSE array_to_string(arr, ' ') END <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+        FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    ),
+    pairs AS (
+        SELECT a, b FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE >= 0.5
+    ),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+"""
+
+# Shared multimodal cluster oracle: the image generator's planted
+# cluster formula (sources/imagegen.py — position i%50 maps to a
+# cluster band, 50-image pages). `multimodal_clusters_exact` computes
+# exact Hamming + exact Jaccard edges; `multimodal_neardup_clusters`
+# is the fused LSH plan — their outputs are identical on the fixed
+# 400-image fixture at every sf (verified), so both pin to the formula.
+_MULTIMODAL_CLUSTERS_SQL = """
+    WITH bounds(lo, hi, cl) AS (VALUES
+        (0,0,0),(1,1,1),(2,2,2),(3,4,3),(5,7,4),(8,12,5),(13,20,6),
+        (21,21,7),(22,22,8),(23,23,9),(24,25,10),(26,28,11),(29,33,12),
+        (34,41,13),(42,42,14),(43,43,15),(44,44,16),(45,46,17),(47,49,18)),
+    m AS (
+        SELECT i, i // 50 AS p, b.cl
+        FROM range(400) t(i) JOIN bounds b ON (i % 50) BETWEEN b.lo AND b.hi
+    )
+    SELECT printf('img_%012d', i) AS image_id,
+           printf('img_%012d', MIN(i) OVER (PARTITION BY p, cl)) AS cluster_id
+    FROM m
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "neardup_text_clusters": _NEARDUP_CLUSTERS_SQL,
+        "multimodal_neardup_clusters": _MULTIMODAL_CLUSTERS_SQL,
         # exact-regime sketch queries (theta exact mode == COUNT DISTINCT,
         # `theta/sketch.rs:164-171`; MG exact below 0.75*M distinct,
         # `frequencies/mod.rs:43-63`)
@@ -1287,19 +1371,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hamming_ok
             FROM m x JOIN m y ON x.p = y.p AND x.cl = y.cl AND x.i < y.i
         """,
-        "multimodal_clusters_exact": """
-            WITH bounds(lo, hi, cl) AS (VALUES
-                (0,0,0),(1,1,1),(2,2,2),(3,4,3),(5,7,4),(8,12,5),(13,20,6),
-                (21,21,7),(22,22,8),(23,23,9),(24,25,10),(26,28,11),(29,33,12),
-                (34,41,13),(42,42,14),(43,43,15),(44,44,16),(45,46,17),(47,49,18)),
-            m AS (
-                SELECT i, i // 50 AS p, b.cl
-                FROM range(400) t(i) JOIN bounds b ON (i % 50) BETWEEN b.lo AND b.hi
-            )
-            SELECT printf('img_%012d', i) AS image_id,
-                   printf('img_%012d', MIN(i) OVER (PARTITION BY p, cl)) AS cluster_id
-            FROM m
-        """,
+        "multimodal_clusters_exact": _MULTIMODAL_CLUSTERS_SQL,
         "audio_features": """
             SELECT printf('aud_%08d', i) AS audio_id,
                    CAST(4096 + ((i // 2) % 7) * 1024 AS BIGINT) AS n_samples,
@@ -1327,46 +1399,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS wrapper_ok
             FROM events GROUP BY event_type
         """,
-        "neardup_clusters_exact": """
-            WITH RECURSIVE tok_arrays AS (
-                SELECT doc_id,
-                       regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
-                FROM documents
-            ),
-            toks AS (
-                SELECT DISTINCT doc_id,
-                       CASE WHEN len(arr) >= 3
-                            THEN arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
-                            ELSE array_to_string(arr, ' ') END AS tok
-                FROM tok_arrays,
-                     UNNEST(CASE WHEN len(arr) >= 3
-                                 THEN range(1, len(arr) - 1)
-                                 ELSE [1] END) AS t(i)
-                WHERE CASE WHEN len(arr) >= 3
-                           THEN arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
-                           ELSE array_to_string(arr, ' ') END <> ''
-            ),
-            sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
-            inter AS (
-                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
-                FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
-                GROUP BY x.doc_id, y.doc_id
-            ),
-            pairs AS (
-                SELECT a, b FROM inter
-                JOIN sizes sa ON sa.doc_id = a
-                JOIN sizes sb ON sb.doc_id = b
-                WHERE inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE >= 0.5
-            ),
-            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
-            reach(src, dst) AS (
-                SELECT doc_id, doc_id FROM documents
-                UNION
-                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-            )
-            SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
-            FROM reach GROUP BY src
-        """,
+        "neardup_clusters_exact": _NEARDUP_CLUSTERS_SQL,
         "repetition_stats": """
             WITH t AS (
                 SELECT doc_id,
