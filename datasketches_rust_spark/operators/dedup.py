@@ -226,8 +226,14 @@ def near_dup_multimodal_clusters(
     if use_pixel_simhash:
         from .images import image_features
 
-        feats = image_features(df, cfg.simhash).filter(F.col("decode_ok")).select(
-            F.col("image_id").alias(id_col), "pixel_simhash"
+        # checkpoint: candidate_pairs' size probe (operators/lsh.py)
+        # re-evaluates its input once — without this the mapInPandas
+        # decode stage would run twice
+        feats = (
+            image_features(df, cfg.simhash)
+            .filter(F.col("decode_ok"))
+            .select(F.col("image_id").alias(id_col), "pixel_simhash")
+            .localCheckpoint(eager=True)
         )
         pixel_edges = near_dup_image_pairs(feats, id_col, "pixel_simhash", cfg).select(
             "a", "b"
