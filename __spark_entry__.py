@@ -1699,8 +1699,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE >= 0.5
         """,
         # neardup_text_clusters / multimodal_neardup_clusters (the two
-        # murmur-seeded LSH-banded flagships): not SQL-expressible; the
-        # driver records rows-only checks, while their EXACT twins
-        # (neardup_clusters_exact / multimodal_clusters_exact) carry
-        # full value oracles over the identical downstream path.
+        # murmur-seeded LSH-banded flagships) ARE value-oracled: they
+        # pin to their exact twins' closure SQL (entries at the top of
+        # this dict) because the LSH output is verified identical to
+        # the exact-edge output on the fixed testdata at every sf.
     }

@@ -102,6 +102,10 @@ class FrequentItemsSketch:
     def __post_init__(self) -> None:
         if self.max_map_size & (self.max_map_size - 1):
             raise ValueError("max_map_size must be a power of 2")
+        if self.max_map_size > (1 << 24):
+            # mirrors the deserialize guard so every constructible
+            # sketch round-trips through the family-10 wire
+            raise ValueError("max_map_size capped at 2^24")
         if self._keys is None:
             self._alloc(1 << self._LG_MIN_MAP_SIZE)
 
@@ -399,6 +403,12 @@ class FrequentItemsSketch:
             raise ValueError(f"unsupported frequencies serial version {ver}")
         if lg_cur > lg_max:
             raise ValueError("lg_cur_map_size exceeds lg_max_map_size")
+        if lg_max > 24:
+            # decode guard: the probe-table rebuild below allocates
+            # 2^lg_cur slots from these untrusted header bytes; an MG
+            # map beyond 2^24 counters (epsilon 3.5/M ≈ 2e-7) is not a
+            # plausible sketch, it is a crafted-blob OOM
+            raise ValueError(f"frequencies lg_max_map_size {lg_max} too large")
         if flags & FrequentItemsSketch._EMPTY_FLAG:
             if pre_longs != 1:
                 raise ValueError(f"invalid empty preamble longs {pre_longs}")

@@ -219,51 +219,14 @@ class HllSketch:
         return float(np.power(2.0, -self.registers.astype(np.float64)).sum())
 
     def _absorb(self, slot26: np.ndarray, value: np.ndarray) -> None:
-        """Absorb coupons in arrival order, maintaining the HIP
-        accumulator over register-raising events (`estimator.rs:76-90`:
-        hip += k/kxq BEFORE each register change)."""
+        """Absorb coupons with merge semantics (vectorized register
+        max). Only reachable on out-of-order sketches — in-order HIP
+        updates route through ``_update_sequential``, which maintains
+        the accumulator per register-raising event (`estimator.rs:
+        76-90`)."""
         slot = (slot26 & (self.k - 1)).astype(np.int64)
-        if not self.out_of_order:
-            self._hip_update(slot, value)
         self.kxq0 = self.kxq1 = None
         np.maximum.at(self.registers, slot, value)
-
-    def _hip_update(self, slot: np.ndarray, value: np.ndarray) -> None:
-        """Vectorized HIP over the batch's register-raising events.
-
-        The per-slot register trajectory is independent of interleaving,
-        so change events and their (old, new) values come from a
-        slot-major prefix max (encoded seg_id*64 + value: values are
-        <= 63, so cross-segment carryover can never win the running
-        max). The accumulator sequence hip += k/kxq before each change
-        (`estimator.rs:76-90`) telescopes to
-        k * Σ_j 1/(kxq_0 + Σ_{i<j} Δ_i) with events in arrival order —
-        no Python loop."""
-        if len(slot) == 0:
-            return
-        regs = self.registers
-        order = np.argsort(slot, kind="stable")  # slot-major, arrival-minor
-        s_sorted = slot[order]
-        v_sorted = value[order].astype(np.int64)
-        new_seg = np.r_[True, np.diff(s_sorted) != 0]
-        seg_id = np.cumsum(new_seg) - 1
-        combined = seg_id * 64 + v_sorted
-        acc = np.maximum.accumulate(combined)
-        prev = np.empty_like(acc)
-        prev[0] = 0
-        prev[1:] = acc[:-1]
-        base = seg_id * 64 + regs[s_sorted].astype(np.int64)
-        prev = np.maximum(prev, base)  # seed with the live register
-        changed = combined > prev
-        if not changed.any():
-            return
-        old_v = (prev - seg_id * 64)[changed].astype(np.float64)
-        new_v = v_sorted[changed].astype(np.float64)
-        arrival = order[changed]
-        by_arrival = np.argsort(arrival)
-        deltas = np.power(2.0, -new_v[by_arrival]) - np.power(2.0, -old_v[by_arrival])
-        kxq_before = self._kxq() + np.r_[0.0, np.cumsum(deltas)[:-1]]
-        self.hip_accum += float(self.k) * float((1.0 / kxq_before).sum())
 
     def update_u64s(self, vals: np.ndarray) -> None:
         h1, h2 = murmur3_x64_128_u64s(vals.astype(np.uint64, copy=False), self.seed)
@@ -375,7 +338,11 @@ class HllSketch:
                 lst = self.coupon_list
                 if c not in lst:
                     lst.append(c)
-                    if len(lst) == (1 << _LG_INIT_LIST):  # is_full
+                    # >= not ==: a wire-decoded list may already hold a
+                    # full 8 (deserialize_wire caps it there); strict
+                    # equality would then never fire and the list would
+                    # grow unboundedly (O(n^2) scans, serialize overflow)
+                    if len(lst) >= (1 << _LG_INIT_LIST):  # is_full
                         if self.lg_k < 8:
                             self._promote_to_dense(lst)
                         else:
@@ -389,7 +356,10 @@ class HllSketch:
             elif self.mode == "set":
                 self._set_insert(c)
                 if 4 * self.set_count > 3 * (1 << self.set_lg):
-                    if self.set_lg == self.lg_k - 3:
+                    # >= not ==: deserialize_wire bounds set_lg to
+                    # lg_k-3, but a defensive >= keeps promotion firing
+                    # even if that invariant is ever relaxed
+                    if self.set_lg >= self.lg_k - 3:
                         self._promote_to_dense([x for x in self.set_table if x])
                     else:
                         self._grow_set()
@@ -685,6 +655,11 @@ class HllSketch:
         if cur_mode == HllSketch._MODE_LIST:
             if preints != 2:
                 raise ValueError(f"LIST preamble ints {preints} != 2")
+            if not compact and lg_arr > 8:
+                # reference lists are 2^3 slots (`hll/list.rs:46`); a
+                # generous 2^8 cap rejects corrupt headers before the
+                # length math below trusts them
+                raise ValueError(f"HLL LIST lg_arr {lg_arr} out of range")
             n = 0 if empty else (state if compact else 1 << lg_arr)
             if len(data) < 8 + 4 * n:
                 raise ValueError("truncated HLL LIST coupon array")
@@ -693,9 +668,25 @@ class HllSketch:
             sk.mode = "list"
             sk.out_of_order = False
             sk.coupon_list = [int(c) for c in coupons if c]
+            if len(sk.coupon_list) > (1 << _LG_INIT_LIST):
+                # a valid list promotes at 8 coupons (`hll/sketch.rs:
+                # 181-195`); more than 8 nonzero entries is corruption
+                raise ValueError(
+                    f"HLL LIST blob holds {len(sk.coupon_list)} coupons (max 8)"
+                )
         elif cur_mode == HllSketch._MODE_SET:
             if preints != 3:
                 raise ValueError(f"SET preamble ints {preints} != 3")
+            if lg_k < 8 or not (_LG_INIT_SET <= lg_arr <= lg_k - 3):
+                # SET mode only exists for lg_k >= 8 and its probe table
+                # grows from 2^5 to at most 2^(lg_k-3) before promoting
+                # to dense (`hll/sketch.rs:196-206`); an unbounded lg_arr
+                # would size the table allocation below from a crafted
+                # header (up to OOM) and admit counts that overflow the
+                # coupon-estimate tables
+                raise ValueError(
+                    f"HLL SET lg_arr {lg_arr} out of range for lg_k {lg_k}"
+                )
             (count,) = struct.unpack_from("<I", data, 8)
             n = count if compact else 1 << lg_arr
             if count >= (1 << lg_arr):
@@ -784,7 +775,16 @@ class HllSketch:
     #        and the family-7 DS wire encode above is unchanged.
 
     def serialize(self) -> bytes:
-        self._ensure_dense()  # shuffle path is merge semantics
+        if self.mode != "hll":
+            # the shuffle layout is merge-semantics (registers only);
+            # densify a COPY — serializing must not flip the live
+            # sketch's estimator class (coupon HIP → dense composite)
+            # for callers that checkpoint a partial and keep updating it
+            return HllSketch.from_coupons(
+                np.array(self._coupons_in_container_order(), dtype=np.uint32),
+                self.lg_k,
+                self.seed,
+            ).serialize()
         nnz = int((self.registers != 0).sum())
         if 4 * nnz + 4 < self.k:
             slots = np.flatnonzero(self.registers)

@@ -299,8 +299,8 @@ def hll_estimator_gates() -> dict[str, bool]:
 
     - hip_ok: the reference's own accuracy contract
       (`hll_update_test.rs:36-43,91-95`: |est−100| < 20,
-      |est−1000| < 150) holds on the HIP path, and the vectorized
-      batch HIP accumulator equals strict sequential chunked updates.
+      |est−1000| < 150) holds on the HIP path, and the HIP accumulator
+      is chunking-invariant (one batch equals 97 sequential chunks).
     - serde_modes_ok: one sketch encoded as HLL8, HLL6, and HLL4+aux
       all decode back to identical register arrays and estimates.
     """

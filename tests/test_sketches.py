@@ -737,3 +737,93 @@ def test_frequencies_sampled_median_purge():
         sk2.update(f"j{i}", w)
     # sorted sample of min(6,7) values: median index 3 → value 1
     assert sk2.offset == 1
+
+
+def test_hll_wire_decode_rejects_crafted_headers():
+    """Decode-robustness regression (round-4 review): header bytes are
+    untrusted — a crafted lg_arr must not size allocations or admit
+    coupon counts that overflow the estimator tables."""
+    import struct as _st
+
+    # SET blob with lg_arr=26 at lg_k=12: valid max is lg_k-3=9; the
+    # old code allocated a 2^26-entry probe table from the header
+    crafted = _st.pack("<BBBBBBBB", 3, 1, 7, 12, 26, 8, 0, 1) + _st.pack("<I", 1)
+    crafted += _st.pack("<I", 123)
+    with pytest.raises(ValueError, match="lg_arr"):
+        HllSketch.deserialize_wire(crafted)
+
+    # SET mode is impossible below lg_k=8 (list promotes straight to
+    # dense there)
+    crafted = _st.pack("<BBBBBBBB", 3, 1, 7, 6, 5, 8, 0, 1) + _st.pack("<I", 0)
+    with pytest.raises(ValueError, match="lg_arr"):
+        HllSketch.deserialize_wire(crafted)
+
+    # LIST blob claiming 9 coupons: a valid list promotes at 8
+    from datasketches_rust_spark.functions.hll import _coupons_from_h
+    from datasketches_rust_spark.hashes import murmur3_x64_128_u64s
+
+    h1, h2 = murmur3_x64_128_u64s(np.arange(9, dtype=np.uint64), 9001)
+    slot26, value = _coupons_from_h(h1, h2)
+    coupons = ((value.astype(np.uint32) << 26) | slot26.astype(np.uint32)).astype("<u4")
+    lst = _st.pack("<BBBBBBBB", 2, 1, 7, 12, 3, 8, 9, 0) + coupons.tobytes()
+    with pytest.raises(ValueError, match="coupons"):
+        HllSketch.deserialize_wire(lst)
+
+    # non-compact LIST with an absurd lg_arr
+    lst = _st.pack("<BBBBBBBB", 2, 1, 7, 12, 30, 0, 0, 0)
+    with pytest.raises(ValueError, match="lg_arr"):
+        HllSketch.deserialize_wire(lst)
+
+
+def test_hll_wire_decoded_full_list_still_promotes():
+    """A decoded 8-coupon LIST (legal boundary) must promote on the
+    next novel update instead of growing the list unboundedly."""
+    import struct as _st
+
+    from datasketches_rust_spark.functions.hll import _coupons_from_h
+    from datasketches_rust_spark.hashes import murmur3_x64_128_u64s
+
+    h1, h2 = murmur3_x64_128_u64s(np.arange(8, dtype=np.uint64), 9001)
+    slot26, value = _coupons_from_h(h1, h2)
+    coupons = ((value.astype(np.uint32) << 26) | slot26.astype(np.uint32)).astype("<u4")
+    blob = _st.pack("<BBBBBBBB", 2, 1, 7, 12, 3, 8, 8, 0) + coupons.tobytes()
+    sk = HllSketch.deserialize_wire(blob)
+    assert sk.mode == "list" and len(sk.coupon_list) == 8
+    sk.update_u64s(np.arange(8, 400, dtype=np.uint64))
+    assert sk.mode in ("set", "hll")  # promoted, not a 400-entry list
+    ref = HllSketch(12)
+    ref.update_u64s(np.arange(400, dtype=np.uint64))
+    assert sk.serialize_wire() == ref.serialize_wire()
+
+
+def test_hll_serialize_does_not_mutate_live_sketch():
+    """serialize() (engine shuffle layout) must densify a copy: a
+    checkpointed-then-continued coupon sketch keeps its coupon-mode
+    estimator class and bounds."""
+    sk = HllSketch(12)
+    sk.update_u64s(np.arange(20, dtype=np.uint64))
+    assert sk.mode in ("list", "set")
+    est0, lo0, hi0 = sk.estimate(), sk.lower_bound(2), sk.upper_bound(2)
+    blob = sk.serialize()
+    assert sk.mode in ("list", "set")  # unchanged by serialization
+    assert (sk.estimate(), sk.lower_bound(2), sk.upper_bound(2)) == (est0, lo0, hi0)
+    # and the blob still decodes to the same registers as a dense build
+    dec = HllSketch.deserialize(blob)
+    ref = HllSketch.from_coupons(
+        np.array(sk._coupons_in_container_order(), dtype=np.uint32), 12
+    )
+    assert (dec.registers == ref.registers).all()
+
+
+def test_frequencies_decode_rejects_oversized_map_header():
+    """Family-10 decode guard: lg_max/lg_cur come from untrusted bytes
+    and size the probe-table rebuild — cap them before allocating."""
+    import struct as _st
+
+    crafted = _st.pack("<BBBBBBH", 4, 1, 10, 60, 26, 0, 0)
+    crafted += _st.pack("<IIQQ", 1, 0, 1, 0)
+    crafted += _st.pack("<Q", 1) + _st.pack("<I", 1) + b"a"
+    with pytest.raises(ValueError, match="lg_max"):
+        FrequentItemsSketch.deserialize(crafted)
+    with pytest.raises(ValueError, match="2\\^24"):
+        FrequentItemsSketch(1 << 25)
