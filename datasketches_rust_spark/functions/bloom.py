@@ -217,6 +217,13 @@ class BloomFilter:
         if num_longs <= 0:
             raise ValueError(f"invalid num_longs {num_longs}")
         if flags & BloomFilter._EMPTY_FLAG:
+            if num_longs > (1 << 28):
+                # the non-empty path's allocation is backed 1:1 by blob
+                # payload, but an EMPTY blob is 24 bytes regardless of
+                # the claimed size — cap it (2^28 longs = 2 GiB words,
+                # beyond any buildable config) so a crafted header
+                # can't OOM the decoder
+                raise ValueError(f"empty bloom num_longs {num_longs} too large")
             return BloomFilter(num_longs * 64, nh, seed)
         if len(data) < 32:
             raise ValueError("truncated bloom preamble")

@@ -192,6 +192,12 @@ class CountMinSketch:
         if seed_hash != compute_seed_hash(seed):
             raise ValueError(f"seed hash mismatch: {seed_hash}")
         if flags & CountMinSketch._EMPTY_FLAG:
+            if nh * nb > (1 << 28):
+                # EMPTY blobs carry no counter payload to back the
+                # nh*nb allocation — cap it (2^28 i64 counters = 2 GiB)
+                # so a crafted 16-byte header can't OOM the decoder;
+                # the non-empty path is already payload-length-checked
+                raise ValueError(f"empty countmin table {nh}x{nb} too large")
             return CountMinSketch(nh, nb, seed)
         if len(data) < 16 + 8 + nh * nb * 8:
             raise ValueError("truncated countmin counters")

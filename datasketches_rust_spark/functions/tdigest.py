@@ -342,6 +342,8 @@ class TDigest:
                 raise ValueError("truncated tdigest min/max")
             mn, mx = struct.unpack_from("<ff", data, off)
             off += 8
+            if len(data) < off + 8 * n:
+                raise ValueError("truncated tdigest centroids")
             cent = np.frombuffer(data, "<f4", count=2 * n, offset=off).reshape(n, 2)
             means = cent[:, 0].astype(np.float64)
             weights = cent[:, 1].view("<u4").astype(np.float64)

@@ -827,3 +827,35 @@ def test_frequencies_decode_rejects_oversized_map_header():
         FrequentItemsSketch.deserialize(crafted)
     with pytest.raises(ValueError, match="2\\^24"):
         FrequentItemsSketch(1 << 25)
+
+
+def test_empty_flag_decode_paths_cap_allocation():
+    """Bloom/countmin EMPTY blobs are fixed-size headers whose claimed
+    dimensions are not backed by payload — the decoder must reject
+    absurd sizes instead of allocating them."""
+    import struct as _st
+
+    from datasketches_rust_spark.hashes import compute_seed_hash
+
+    # bloom: EMPTY flag + num_longs = 2^30
+    blob = _st.pack(
+        "<BBBBHHQiI", 3, 1, 21, BloomFilter._EMPTY_FLAG, 3, 0, 9001, 1 << 30, 0
+    )
+    with pytest.raises(ValueError, match="too large"):
+        BloomFilter.deserialize(blob)
+
+    # countmin: EMPTY flag + 255 x 2^31 counters from a 16-byte header
+    blob = _st.pack(
+        "<BBBBIIBHB", 1, 1, 18, CountMinSketch._EMPTY_FLAG, 0, 1 << 31, 255,
+        compute_seed_hash(9001), 0,
+    )
+    with pytest.raises(ValueError, match="too large"):
+        CountMinSketch.deserialize(blob)
+
+    # tdigest f32: truncated centroid payload gets the clean error, not
+    # a raw numpy buffer error (the f64 branch already had this check)
+    blob = _st.pack("<BBBHBH", 2, 1, 20, 100, 0, 0)
+    blob += _st.pack("<II", 1000, 0) + _st.pack("<ff", 0.0, 1.0)
+    blob += b"\x00" * 16  # claims 1000 centroids, carries 2
+    with pytest.raises(ValueError, match="truncated tdigest centroids"):
+        TDigest.deserialize(blob, is_f32=True)
