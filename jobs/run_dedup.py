@@ -69,6 +69,10 @@ def main() -> None:
     else:
         df = spark.read.parquet(args.input)
         out = near_dup_multimodal_clusters(df, use_pixel_simhash=True)
+    # pipelines label the generic id column `id`; the job's documented
+    # output contract is the input_hint key name
+    if "id" in out.columns and "image_id" not in out.columns:
+        out = out.withColumnRenamed("id", "image_id")
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     dt = time.perf_counter() - t0
