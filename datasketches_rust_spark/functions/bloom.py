@@ -63,9 +63,25 @@ class BloomFilter:
         return str(item).encode("utf-8")
 
     def _bit_positions(self, items: list) -> np.ndarray:
-        """(n, num_hashes) bit indices via double hashing."""
-        bts = [self._to_bytes(i) for i in items]
-        buf, starts, lengths = pack_bytes(bts)
+        """(n, num_hashes) bit indices via double hashing.
+
+        Integer numpy arrays skip the per-item ``_to_bytes`` loop:
+        each int64 hashes over its 8 LE two's-complement bytes —
+        exactly what ``_to_bytes`` packs — so the flat buffer is just
+        the array's own LE byte image (equivalence pytest-gated)."""
+        arr = items if isinstance(items, np.ndarray) else None
+        if arr is not None and arr.dtype.kind in ("i", "u") and len(arr):
+            u = (
+                arr.astype(np.uint64)
+                if arr.dtype.kind == "u"
+                else arr.astype(np.int64).view(np.uint64)
+            )
+            buf = np.ascontiguousarray(u.astype("<u8")).view(np.uint8)
+            starts = np.arange(len(u), dtype=np.int64) * 8
+            lengths = np.full(len(u), 8, dtype=np.int64)
+        else:
+            bts = [self._to_bytes(i) for i in items]
+            buf, starts, lengths = pack_bytes(bts)
         h0 = xxhash64_arr(buf, starts, lengths, self.seed)
         h1 = np.empty_like(h0)
         # h1 = xxhash64(item, seed=h0) — per-row seed; reuse the u64

@@ -30,6 +30,7 @@ from ..hashes import (
     compute_seed_hash,
     murmur3_x64_128,
     murmur3_x64_128_arr,
+    murmur3_x64_128_u64s,
     pack_bytes,
 )
 
@@ -85,6 +86,30 @@ class CountMinSketch:
             out[r] = (h1 % np.uint64(self.num_buckets)).astype(np.int64)
         return out
 
+    def _buckets_any(self, items) -> np.ndarray:
+        """(num_hashes, n) buckets for a batch of items of any type.
+
+        Integer numpy arrays / pandas values skip the per-item
+        ``_to_bytes`` Python loop: every int64 hashes over its 8 LE
+        two's-complement bytes, exactly what ``_to_bytes`` packs, so
+        the vectorized u64 murmur kernel is bit-identical (equivalence
+        pytest-gated). Everything else takes the byte-packing path."""
+        arr = items if isinstance(items, np.ndarray) else None
+        if arr is not None and arr.dtype.kind in ("i", "u"):
+            # sign-extend signed ints to the 8-byte two's complement
+            # _to_bytes packs; u64 values >= 2^63 keep their raw bits
+            u = (
+                arr.astype(np.uint64)
+                if arr.dtype.kind == "u"
+                else arr.astype(np.int64).view(np.uint64)
+            )
+            out = np.empty((self.num_hashes, len(u)), dtype=np.int64)
+            for r in range(self.num_hashes):
+                h1, _ = murmur3_x64_128_u64s(u, int(self.hash_seeds[r]))
+                out[r] = (h1 % np.uint64(self.num_buckets)).astype(np.int64)
+            return out
+        return self._buckets([self._to_bytes(i) for i in items])
+
     @staticmethod
     def _to_bytes(item) -> bytes:
         if isinstance(item, bytes):
@@ -93,10 +118,9 @@ class CountMinSketch:
             return int(item).to_bytes(8, "little", signed=int(item) < 0)
         return str(item).encode("utf-8")
 
-    def update_batch(self, items: list, weights: np.ndarray | None = None) -> None:
-        bts = [self._to_bytes(i) for i in items]
-        w = np.ones(len(bts), np.int64) if weights is None else np.asarray(weights, np.int64)
-        bk = self._buckets(bts)
+    def update_batch(self, items, weights: np.ndarray | None = None) -> None:
+        w = np.ones(len(items), np.int64) if weights is None else np.asarray(weights, np.int64)
+        bk = self._buckets_any(items)
         for r in range(self.num_hashes):
             np.add.at(self.counts[r], bk[r], w)
         self.total_weight += int(w.sum())
@@ -104,9 +128,8 @@ class CountMinSketch:
     def update(self, item, weight: int = 1) -> None:
         self.update_batch([item], np.array([weight], np.int64))
 
-    def estimate_batch(self, items: list) -> np.ndarray:
-        bts = [self._to_bytes(i) for i in items]
-        bk = self._buckets(bts)
+    def estimate_batch(self, items) -> np.ndarray:
+        bk = self._buckets_any(items)
         vals = np.stack([self.counts[r, bk[r]] for r in range(self.num_hashes)])
         return vals.min(axis=0)
 

@@ -567,7 +567,10 @@ def countmin_weights_by_key(
                 continue
             vals = pdf.loc[mask, key_col].to_numpy()
             w = pdf.loc[mask, weight_col].to_numpy(np.int64)
-            cm.update_batch(list(vals), w)
+            # integer key arrays take the vectorized u64-murmur bucket
+            # path inside update_batch; a list() here would force the
+            # per-item _to_bytes loop
+            cm.update_batch(vals, w)
         yield pd.DataFrame({"sketch": [cm.serialize()]})
 
     partials = df.select(key_col, weight_col).mapInPandas(partial, "sketch binary")
@@ -656,7 +659,11 @@ def bloom_build(df: DataFrame, col: str, max_items: int, fpp: float) -> bytes:
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bf = BloomFilter(nb, nh)
         for pdf in batches:
-            bf.insert_batch(pdf[col].tolist())
+            arr = pdf[col].to_numpy()
+            # int dtype (no-null by construction in pandas) rides the
+            # vectorized byte-image path; other dtypes keep the exact
+            # per-item packing semantics (incl. null stringification)
+            bf.insert_batch(arr if arr.dtype.kind in ("i", "u") else pdf[col].tolist())
         yield pd.DataFrame({"sketch": [bf.serialize()]})
 
     def merge_blobs(blobs: list[bytes]) -> bytes:
@@ -684,6 +691,9 @@ def bloom_semi_filter(
     @F.pandas_udf("boolean")
     def probe(keys: pd.Series) -> pd.Series:
         bf = BloomFilter.deserialize(bloom_bytes)
+        arr = keys.to_numpy()
+        if arr.dtype.kind in ("i", "u"):
+            return pd.Series(bf.contains_batch(arr))
         return pd.Series(bf.contains_batch(keys.tolist()))
 
     return probe_df.filter(probe(F.col(probe_col)))

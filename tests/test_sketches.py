@@ -859,3 +859,56 @@ def test_empty_flag_decode_paths_cap_allocation():
     blob += b"\x00" * 16  # claims 1000 centroids, carries 2
     with pytest.raises(ValueError, match="truncated tdigest centroids"):
         TDigest.deserialize(blob, is_f32=True)
+
+
+def test_countmin_vectorized_int_path_matches_tobytes_path():
+    """Integer arrays skip the per-item _to_bytes loop via the u64
+    murmur kernel — must land every item in the same buckets as the
+    byte-packing path (same counts, same estimates), including
+    negative and small-dtype keys."""
+    vals = np.array([0, 1, 7, -1, -12345, 2**62, -(2**62)], dtype=np.int64)
+    w = np.arange(1, len(vals) + 1, dtype=np.int64)
+
+    fast = CountMinSketch(3, 256)
+    fast.update_batch(vals, w)  # ndarray → vectorized path
+    slow = CountMinSketch(3, 256)
+    slow.update_batch(list(vals), w)  # list → _to_bytes path
+    assert (fast.counts == slow.counts).all()
+    assert fast.total_weight == slow.total_weight
+    assert (fast.estimate_batch(vals) == slow.estimate_batch(list(vals))).all()
+
+    # unsigned values >= 2^63 keep raw bits
+    u = np.array([2**63, 2**64 - 1, 5], dtype=np.uint64)
+    fa = CountMinSketch(3, 256)
+    fa.update_batch(u)
+    sl = CountMinSketch(3, 256)
+    sl.update_batch([int(x) for x in u])
+    assert (fa.counts == sl.counts).all()
+
+    # int32 sign-extends like _to_bytes' 8-byte signed packing
+    i32 = np.array([-5, 42], dtype=np.int32)
+    fa = CountMinSketch(3, 256)
+    fa.update_batch(i32)
+    sl = CountMinSketch(3, 256)
+    sl.update_batch([int(x) for x in i32])
+    assert (fa.counts == sl.counts).all()
+
+
+def test_bloom_vectorized_int_path_matches_tobytes_path():
+    """Integer arrays skip the per-item _to_bytes packing — identical
+    bit positions, membership, and serialized words as the list path."""
+    vals = np.array([0, 1, 7, -1, -999999, 2**62, -(2**62)], dtype=np.int64)
+    fast = BloomFilter.with_accuracy(1000, 0.01)
+    fast.insert_batch(vals)
+    slow = BloomFilter.with_accuracy(1000, 0.01)
+    slow.insert_batch([int(v) for v in vals])
+    assert (fast.words == slow.words).all()
+    assert fast.contains_batch(vals).all()
+    assert (fast.contains_batch(vals) == slow.contains_batch(list(vals))).all()
+
+    u = np.array([2**63, 2**64 - 1, 5], dtype=np.uint64)
+    fa = BloomFilter.with_accuracy(100, 0.01)
+    fa.insert_batch(u)
+    sl = BloomFilter.with_accuracy(100, 0.01)
+    sl.insert_batch([int(x) for x in u])
+    assert (fa.words == sl.words).all()
