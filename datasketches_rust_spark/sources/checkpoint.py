@@ -60,6 +60,13 @@ class CheckpointManager:
         with open(path) as f:
             return set(json.load(f)["completed_buckets"])
 
+    def _read_manifest(self, stage: str) -> dict | None:
+        path = self._manifest_path(stage)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     def _write_json_atomic(self, path: str, payload: dict) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
@@ -71,7 +78,11 @@ class CheckpointManager:
         done = self.completed_buckets(stage) | buckets
         self._write_json_atomic(
             self._manifest_path(stage),
-            {"completed_buckets": sorted(done), "lineage": lineage},
+            {
+                "completed_buckets": sorted(done),
+                "lineage": lineage,
+                "num_buckets": self.num_buckets,
+            },
         )
 
     def write_metrics(self, stage: str, metrics: dict) -> None:
@@ -105,6 +116,23 @@ class CheckpointManager:
         ``compute_fn`` receives a DataFrame that still contains
         ``_bucket`` and must preserve it in its output.
         """
+        # the reference ladder is serialize → VALIDATE → deserialize
+        # (SURVEY.md §3.3): refuse to splice buckets computed under a
+        # different config/input into this run's output — without this
+        # check a resumed run with a changed shingle/signature config
+        # silently mixes incompatible state
+        manifest = self._read_manifest(stage)
+        if manifest is not None:
+            stored = manifest.get("lineage", {})
+            stored_nb = manifest.get("num_buckets", self.num_buckets)
+            if stored != (lineage or {}) or stored_nb != self.num_buckets:
+                raise ValueError(
+                    f"checkpoint lineage mismatch for stage '{stage}': "
+                    f"manifest has lineage={stored!r} num_buckets={stored_nb}, "
+                    f"this run has lineage={(lineage or {})!r} "
+                    f"num_buckets={self.num_buckets}; call invalidate('{stage}') "
+                    "to recompute under the new config"
+                )
         done = self.completed_buckets(stage)
         missing = sorted(set(range(self.num_buckets)) - done)
         out_path = self.stage_path(stage)

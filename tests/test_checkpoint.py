@@ -94,12 +94,15 @@ def test_resumable_pipeline_equals_direct(spark, docs, tmp_path):
     }
     assert ckpt == direct
 
-    # kill-and-resume: drop part of the signature manifest, rerun
+    # kill-and-resume: drop part of the signature manifest, rerun.
+    # A real kill preserves the manifest's lineage/num_buckets — only
+    # the completed-bucket set is behind.
     cp = CheckpointManager(wd, 32)
+    man = cp._read_manifest("signatures")
     done = cp.completed_buckets("signatures")
     cp._write_json_atomic(
         cp._manifest_path("signatures"),
-        {"completed_buckets": sorted(done - {1, 7, 13}), "lineage": {}},
+        {**man, "completed_buckets": sorted(done - {1, 7, 13})},
     )
     cp.invalidate("edges")
     cp.invalidate("clusters")
@@ -108,3 +111,38 @@ def test_resumable_pipeline_equals_direct(spark, docs, tmp_path):
         for r in resumable_near_dup_pipeline(spark, docs, "doc_id", "text", wd).collect()
     }
     assert resumed == direct
+
+
+def test_resume_rejects_lineage_mismatch(spark, docs, tmp_path):
+    """The reference ladder is serialize -> VALIDATE -> deserialize:
+    resuming a stage under a different config or bucket count must
+    refuse to splice old buckets into the new run, not silently mix
+    incompatible state."""
+    import pytest as _pt
+
+    cp = CheckpointManager(str(tmp_path), num_buckets=4)
+    compute = lambda s: s.select("doc_id", "_bucket")  # noqa: E731
+    cp.run_stage(spark, "sig", docs, "doc_id", compute,
+                 lineage={"config": "minhash-128"})
+
+    # changed config
+    with _pt.raises(ValueError, match="lineage mismatch"):
+        cp.run_stage(spark, "sig", docs, "doc_id", compute,
+                     lineage={"config": "minhash-256"})
+
+    # changed bucket count
+    cp8 = CheckpointManager(str(tmp_path), num_buckets=8)
+    with _pt.raises(ValueError, match="lineage mismatch"):
+        cp8.run_stage(spark, "sig", docs, "doc_id", compute,
+                      lineage={"config": "minhash-128"})
+
+    # same config resumes fine (no recompute: manifest complete)
+    out = cp.run_stage(spark, "sig", docs, "doc_id", compute,
+                       lineage={"config": "minhash-128"})
+    assert out.count() == docs.count()
+
+    # invalidate clears the way for the new config
+    cp.invalidate("sig")
+    out = cp.run_stage(spark, "sig", docs, "doc_id", compute,
+                       lineage={"config": "minhash-256"})
+    assert out.count() == docs.count()
