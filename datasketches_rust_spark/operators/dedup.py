@@ -228,9 +228,15 @@ def near_dup_multimodal_clusters(
 
         # checkpoint: candidate_pairs' size probe (operators/lsh.py)
         # re-evaluates its input once — without this the mapInPandas
-        # decode stage would run twice
+        # decode stage would run twice. image_features keys on
+        # "image_id", so alias the caller's id column explicitly — a
+        # table keyed by another name (with or without an unrelated
+        # image_id column) must not crash or silently mis-key edges
         feats = (
-            image_features(df, cfg.simhash)
+            image_features(
+                df.select(F.col(id_col).alias("image_id"), "bytes", "fmt"),
+                cfg.simhash,
+            )
             .filter(F.col("decode_ok"))
             .select(F.col("image_id").alias(id_col), "pixel_simhash")
             .localCheckpoint(eager=True)

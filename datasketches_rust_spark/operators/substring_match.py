@@ -55,6 +55,19 @@ def substring_match_pairs(
 
     min_len must be >= k; window w = min_len − k + 1.
 
+    **Exhaustiveness boundary (skew guard):** pair enumeration is
+    exhaustive for every fingerprint bucket up to
+    ``cfg.max_bucket_size`` members. A bucket beyond the cap — m
+    documents all sharing one boilerplate k-gram — would emit O(m²)
+    pairs (at web scale that output IS the problem, not the skew), so
+    over-cap buckets emit O(m) salted-chain candidates instead: the
+    bucket's membership stays discoverable, but the full pair list for
+    that k-gram is intentionally not enumerated, and chain pairs that
+    don't also share a >= min_len run are dropped by verification.
+    Corpora where exhaustive pairs over hot boilerplate matter should
+    raise ``cfg.max_bucket_size`` (exact, quadratic cost) or
+    deduplicate boilerplate upstream (exact_dedup) first.
+
     k defaults to min_len − 4: a candidate then requires a shared run
     of >= k chars, so near-min_len runs only. A small k (e.g. 16) with
     a large window keeps the same guarantee but candidates explode on

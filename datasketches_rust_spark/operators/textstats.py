@@ -22,17 +22,30 @@ LANG_MARKERS = {
 }
 
 
+def _tokens(col) -> F.Column:
+    """Lowercased whitespace tokens with NO empty strings — THE
+    tokenizer every operator in this module shares. ``split`` on
+    ``\\s+`` yields '' elements for leading/trailing whitespace of any
+    kind (Spark's ``trim`` strips only spaces, so a trailing tab or
+    newline previously produced a phantom empty token); removing them
+    makes this exactly Python's ``str.split()`` — the MinHash kernel's
+    convention (functions/minhash.py::tokenize) — for every input, not
+    just space-trimmed ones."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.array_remove(F.split(F.lower(c), r"\s+"), "")
+
+
 def _distinct_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Distinct (``_id``, ``tok``) word-3-gram shingle frame — THE
     shingle convention shared by in-set (:func:`ngram_jaccard_pairs`)
     and cross-set (:func:`crossset_jaccard_pairs`) exact Jaccard, and
     mirrored verbatim by their DuckDB oracles: texts with < 3 tokens
     contribute one whole-text shingle (the MinHash kernel's convention,
-    functions/minhash.py). One definition so a tokenizer change can
-    never desynchronize the two operators."""
+    functions/minhash.py). One definition (:func:`_tokens`) so a
+    tokenizer change can never desynchronize the two operators."""
     from ..session import ensure_min_partitions
 
-    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    arr = _tokens(text_col)
     base = ensure_min_partitions(
         df.select(F.col(id_col).alias("_id"), arr.alias("_arr"))
     )
@@ -127,7 +140,11 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     t = F.lower(F.col(text_col))
     scores = [
-        F.regexp_count(t, F.lit(rx)).alias(f"score_{lang}") for lang, rx in LANG_MARKERS.items()
+        # coalesce: regexp_count(NULL) is NULL, which would make every
+        # downstream comparison NULL and emit (NULL, NULL) instead of
+        # the documented zero-hits → 'und'
+        F.coalesce(F.regexp_count(t, F.lit(rx)), F.lit(0)).alias(f"score_{lang}")
+        for lang, rx in LANG_MARKERS.items()
     ]
     scored = df.select(F.col(id_col), *scores)
     langs = list(LANG_MARKERS)
@@ -152,7 +169,7 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     t = F.col(text_col)
     n_chars = F.length(t).cast("long")
-    n_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("long")
+    n_tokens = F.size(_tokens(t)).cast("long")
     n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("long")
     n_digit = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("long")
     n_space = F.length(F.regexp_replace(t, "[^ ]", "")).cast("long")
@@ -232,6 +249,8 @@ def deterministic_split(
     from fractions import Fraction
 
     fracs = {k: Fraction(str(v)) for k, v in fractions.items()}
+    if any(f < 0 or f > 1 for f in fracs.values()):
+        raise ValueError("each fraction must be in [0, 1]")
     if sum(fracs.values()) != 1:
         raise ValueError("fractions must sum to 1")
     fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in id_cols]))
@@ -241,9 +260,14 @@ def deterministic_split(
     for name in names[:-1]:
         cum += fracs[name]
         # exact rational → hex threshold (float math would drift the
-        # constant away from the SQL oracle's hand-written threshold)
-        threshold = format((cum.numerator * 16**32) // cum.denominator, "032x")
-        cond = fp < F.lit(threshold)
+        # constant away from the SQL oracle's hand-written threshold).
+        # Clamp at the all-'f' digest: cum == 1 before the last name
+        # (trailing zero-fraction splits) would otherwise format as a
+        # 33-char string that compares LESS than most digests and
+        # mis-assigns the whole tail
+        raw = (cum.numerator * 16**32) // cum.denominator
+        threshold = format(min(raw, 16**32 - 1), "032x")
+        cond = fp <= F.lit(threshold) if raw >= 16**32 else fp < F.lit(threshold)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
@@ -257,7 +281,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     array built-ins — whole-stage codegen, SQL-expressible.
     Returns (id, n_tokens, distinct_token_frac, distinct_bigram_frac).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = _tokens(text_col)
     n = F.size(toks)
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
@@ -288,15 +312,27 @@ def top_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the max count, never an arbitrary token — deterministic output.
     Returns (id, n_tokens, top_token_count, top_token_frac).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    exploded = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
     counts = exploded.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
-    return counts.groupBy(id_col).agg(
+    stats = counts.groupBy(id_col).agg(
         F.sum("c").cast("long").alias("n_tokens"),
         F.max("c").cast("long").alias("top_token_count"),
         (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
             "top_token_frac"
         ),
+    )
+    # join back: explode emits no rows for NULL/empty text, which would
+    # silently drop those documents from the output — every sibling
+    # per-doc stat operator returns one row per input doc
+    return (
+        df.select(F.col(id_col))
+        .join(stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("top_token_count"), F.lit(0)).alias("top_token_count"),
+            F.col("top_token_frac"),
+        )
     )
 
 
@@ -378,7 +414,7 @@ def benchmark_ngram_overlap(
     input document.
     """
     def ngrams(col: str, width: int):
-        arr = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+        arr = _tokens(col)
         grams = F.transform(
             F.sequence(F.lit(0), F.size(arr) - width),
             lambda i: F.concat_ws(" ", F.slice(arr, i + 1, width)),

@@ -74,7 +74,9 @@ class CheckpointManager:
             json.dump(payload, f, indent=1, sort_keys=True)
         os.replace(tmp, path)
 
-    def _mark_complete(self, stage: str, buckets: set[int], lineage: dict) -> None:
+    def _mark_complete(
+        self, stage: str, buckets: set[int], lineage: dict, schema_json: str
+    ) -> None:
         done = self.completed_buckets(stage) | buckets
         self._write_json_atomic(
             self._manifest_path(stage),
@@ -82,6 +84,11 @@ class CheckpointManager:
                 "completed_buckets": sorted(done),
                 "lineage": lineage,
                 "num_buckets": self.num_buckets,
+                # stage schema travels in the manifest: an all-empty
+                # stage writes no parquet files (only _SUCCESS), and a
+                # plain read would die with UNABLE_TO_INFER_SCHEMA —
+                # e.g. the edges stage of a corpus with no duplicates
+                "schema": schema_json,
             },
         )
 
@@ -136,6 +143,7 @@ class CheckpointManager:
         done = self.completed_buckets(stage)
         missing = sorted(set(range(self.num_buckets)) - done)
         out_path = self.stage_path(stage)
+        schema_json = (manifest or {}).get("schema")
         t0 = time.perf_counter()
         rows_written = 0
         if missing:
@@ -154,10 +162,14 @@ class CheckpointManager:
                 result.write.mode("overwrite").partitionBy("_bucket").parquet(out_path)
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-            rows_written = spark.read.parquet(out_path).filter(
-                F.col("_bucket").isin([int(b) for b in missing])
-            ).count()
-            self._mark_complete(stage, set(missing), lineage or {})
+            schema_json = result.schema.json()
+            rows_written = (
+                spark.read.schema(result.schema)
+                .parquet(out_path)
+                .filter(F.col("_bucket").isin([int(b) for b in missing]))
+                .count()
+            )
+            self._mark_complete(stage, set(missing), lineage or {}, schema_json)
         self.write_metrics(
             stage,
             {
@@ -171,7 +183,12 @@ class CheckpointManager:
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
             },
         )
-        return spark.read.parquet(out_path).drop("_bucket")
+        reader = spark.read
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        return reader.parquet(out_path).drop("_bucket")
 
     def invalidate(self, stage: str) -> None:
         """Drop a stage's manifest (next run recomputes everything)."""
