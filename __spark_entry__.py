@@ -290,7 +290,7 @@ def _q_tdigest_price_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_tdigest_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible evidence for the t-digest QUANTILE path (round 3:
-    q_50/q_90/q_99 were rows-only before): each estimated quantile must
+    quantile columns were rows-only before): each estimated quantile must
     land within a ±3.5-percentage-point RANK window around its target,
     checked against Spark's exact percentile() and oracle'd as literal
     TRUEs + exact row count. Measured single-pass rank error on this
@@ -310,9 +310,9 @@ def _q_tdigest_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exact.crossJoin(F.broadcast(est)).select(
         "n_rows",
-        F.col("q_50").between(F.col("p")[0], F.col("p")[1]).alias("q50_ok"),
-        F.col("q_90").between(F.col("p")[2], F.col("p")[3]).alias("q90_ok"),
-        F.col("q_99").between(F.col("p")[4], F.col("p_hi99")).alias("q99_ok"),
+        F.col("q_0_5").between(F.col("p")[0], F.col("p")[1]).alias("q50_ok"),
+        F.col("q_0_9").between(F.col("p")[2], F.col("p")[3]).alias("q90_ok"),
+        F.col("q_0_99").between(F.col("p")[4], F.col("p_hi99")).alias("q99_ok"),
     )
 
 

@@ -118,7 +118,18 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
         floats via canonical_double → u64 bit pattern (the reference's
         ``update_f64``, `hll/sketch.rs` / `cpc/sketch.rs` f64 paths),
         NOT str(v), so SQL- and DataFrame-built sketches over the same
-        float column carry identical coupons and union correctly."""
+        float column carry identical coupons and union correctly.
+
+        KNOWN LIMIT (SQL surface only): registered UDFs never see the
+        DECLARED column type, and Arrow delivers an integer group that
+        contains a NULL as float64 — such a group's values hash via the
+        canonical-double path while null-free groups of the same column
+        hash via the u64 path, so their sketches union as if the values
+        differed. The DataFrame operators are immune (they pass the
+        declared type down — operators/sketch_aggs._is_integral); on
+        the SQL surface, wrap nullable integer columns explicitly:
+        ``theta_sketch_agg(CAST(x AS DOUBLE))`` for consistent float
+        hashing, or filter the NULLs and keep integer hashing."""
         arr = vals.dropna().to_numpy()
         if len(arr) == 0:
             return
@@ -253,7 +264,17 @@ def register_sql_functions(spark: SparkSession, cfg: ThetaConfig | None = None) 
         mask = items.notna() & weights.notna()
         vals = items[mask]
         if len(vals):
-            cm.update_batch(vals.tolist(), weights[mask].to_numpy(np.int64))
+            w = weights[mask].to_numpy()
+            if w.dtype.kind == "f":
+                if not np.isfinite(w).all():
+                    raise ValueError("countmin_agg: non-finite weight")
+                # round, don't C-truncate: 1.9 silently becoming 1
+                # undercounts, and an out-of-range double casts to an
+                # undefined int64
+                w = np.rint(w)
+                if (np.abs(w) >= 2**63).any():
+                    raise ValueError("countmin_agg: weight out of int64 range")
+            cm.update_batch(vals.tolist(), w.astype(np.int64))
         return cm.serialize()
 
     @pandas_udf("binary")

@@ -400,7 +400,7 @@ class ThetaSketch:
         return ThetaSketch(entries, int(theta), seed_hash, cfg.k)
 
 
-def hash_series(vals, cfg: ThetaConfig) -> np.ndarray:
+def hash_series(vals, cfg: ThetaConfig, integral: bool | None = None) -> np.ndarray:
     """Theta-convention hashes for a pandas Series / array batch with
     the reference's typed update dispatch: integers as 8 LE bytes
     (`theta/sketch.rs:118-132` update_u64), floats via canonical_double
@@ -409,13 +409,23 @@ def hash_series(vals, cfg: ThetaConfig) -> np.ndarray:
     BOTH the DataFrame operators (operators/sketch_aggs.py) and the SQL
     surface (functions/sql_registry.py), so sketches built over the
     same data by either surface — or by another DataSketches
-    implementation — hash identically and union correctly."""
+    implementation — hash identically and union correctly.
+
+    ``integral``: the DECLARED column type when the caller knows it.
+    Arrow delivers an integer batch that contains a NULL as float64
+    (the no-null batches of the same column stay int64), so
+    dtype-sniffing alone would hash the same BIGINT value via the
+    u64 path in one group and the canonical-double path in another —
+    the sketches would then union as if the values differed. DataFrame
+    operators pass ``integral`` from the Spark schema; the SQL surface
+    (which never sees the declared type) documents the hazard and
+    tells users to cast."""
     import pandas as pd
 
     if isinstance(vals, pd.Series):
         vals = vals.dropna()
     arr = np.asarray(vals)
-    if arr.dtype.kind in ("i", "u"):
+    if arr.dtype.kind in ("i", "u") or (integral and arr.dtype.kind == "f"):
         return theta_hash_u64s(arr.astype(np.int64).view(np.uint64), cfg.seed)
     if arr.dtype.kind == "f":
         return theta_hash_f64s(arr.astype(np.float64), cfg.seed)

@@ -150,21 +150,28 @@ def resize_images(
         from ..sources.png import decode_image, encode_image
 
         for pdf in batches:
-            out_bytes, oks = [], []
+            out_bytes, oks, ws, hs = [], [], [], []
             for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
                 try:
                     img = decode_image(bytes(data), fmt)
                     out_bytes.append(encode_image(_resize(img), fmt))
                     oks.append(True)
+                    ws.append(out_w)
+                    hs.append(out_h)
                 except Exception:
+                    # pass the original buffer through but DON'T claim
+                    # the target dimensions for it — a consumer trusting
+                    # (w, h) would misinterpret the un-resized payload
                     out_bytes.append(bytes(data))
                     oks.append(False)
+                    ws.append(None)
+                    hs.append(None)
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
                     "bytes": out_bytes,
-                    "w": pd.array([out_w] * len(pdf), dtype="int32"),
-                    "h": pd.array([out_h] * len(pdf), dtype="int32"),
+                    "w": pd.array(ws, dtype="Int32"),
+                    "h": pd.array(hs, dtype="Int32"),
                     "fmt": pdf["fmt"],
                     "resize_ok": oks,
                 }

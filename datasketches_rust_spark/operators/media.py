@@ -94,7 +94,20 @@ def audio_features(
                         raise ValueError("empty clip")
                     ns.append(len(pcm))
                     rmss.append(float(np.sqrt(np.mean(pcm**2))))
-                    zcrs.append(float(np.mean(np.abs(np.diff(np.signbit(pcm))))))
+                    # guard len<2: diff of a 1-sample clip is empty and
+                    # its mean would be NaN
+                    zcrs.append(
+                        float(np.mean(np.abs(np.diff(np.signbit(pcm)))))
+                        if len(pcm) >= 2
+                        else 0.0
+                    )
+                    # clips shorter than one frame zero-pad to a single
+                    # frame: a (0, frame_len) reshape would mean() over
+                    # zero rows into an all-NaN spectrum, collapsing
+                    # every short clip onto one garbage fingerprint
+                    # with decode_ok=True
+                    if len(pcm) < frame_len:
+                        pcm = np.pad(pcm, (0, frame_len - len(pcm)))
                     n = len(pcm) - len(pcm) % frame_len
                     spec = np.abs(
                         np.fft.rfft(pcm[:n].reshape(-1, frame_len), axis=1)

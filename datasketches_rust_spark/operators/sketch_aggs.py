@@ -49,18 +49,40 @@ from ..functions.frequencies import FrequentItemsSketch
 from ..functions.theta import ThetaSketch, theta_intersect, theta_union
 
 
-def _hash_values(vals: pd.Series, cfg: ThetaConfig) -> np.ndarray:
+def _is_integral(df: DataFrame, col: str) -> bool:
+    """Declared-type probe for the typed hash dispatch: Arrow delivers
+    an integer batch containing a NULL as float64, so dtype-sniffing
+    alone would hash the same BIGINT value differently across groups
+    (u64 path vs canonical-double path) and the sketches would union
+    as if the values differed. Operators pass this down instead."""
+    from pyspark.sql.types import IntegralType
+
+    return isinstance(df.schema[col].dataType, IntegralType)
+
+
+def _quantile_col_name(q: float) -> str:
+    """Column label for a quantile: the full decimal with '.' -> '_'
+    (0.5 -> q_0_5, 0.999 -> q_0_999) — collision-free and truncation-
+    free, shared with streaming_tdigest_quantiles."""
+    return f"q_{str(float(q)).replace('.', '_')}"
+
+
+def _hash_values(
+    vals: pd.Series, cfg: ThetaConfig, integral: bool | None = None
+) -> np.ndarray:
     """Theta-convention hashes for a value batch — shared typed
     dispatch (ints / canonical_double floats / utf-8 strings) lives in
     functions/theta.py::hash_series so the SQL surface and this
     DataFrame surface produce identical hashes."""
     from ..functions.theta import hash_series
 
-    return hash_series(vals, cfg)
+    return hash_series(vals, cfg, integral=integral)
 
 
-def _sketch_values(vals: pd.Series, cfg: ThetaConfig) -> ThetaSketch:
-    return ThetaSketch.from_hashes(_hash_values(vals, cfg), cfg)
+def _sketch_values(
+    vals: pd.Series, cfg: ThetaConfig, integral: bool | None = None
+) -> ThetaSketch:
+    return ThetaSketch.from_hashes(_hash_values(vals, cfg, integral), cfg)
 
 
 def _theta_partials_counted(
@@ -72,6 +94,7 @@ def _theta_partials_counted(
     AQE materialize the upstream exchange as an extra job)."""
     key_type = dict(df.dtypes)[key_col]
     schema = f"{key_col} {key_type}, sketch binary"
+    integral = _is_integral(df, item_col)
 
     # compact a key's accumulated hash buffers once they exceed this
     # many entries (bounds partial-stage memory at ~keys × k × 8B while
@@ -88,7 +111,7 @@ def _theta_partials_counted(
         compacted: dict = {}
         for pdf in batches:
             for k, vals in pdf.groupby(key_col, sort=False)[item_col]:
-                bufs.setdefault(k, []).append(_hash_values(vals, cfg))
+                bufs.setdefault(k, []).append(_hash_values(vals, cfg, integral))
                 counts[k] = counts.get(k, 0) + len(bufs[k][-1])
                 if counts[k] > compact_above:
                     # fold the buffers into a sketch via union so the
@@ -499,7 +522,7 @@ def tdigest_stats(
 
     Returns one row: exactly-maintained (min_value, max_value,
     total_weight — `tdigest/sketch.rs:171-183, 214-216`, oracle-
-    checkable) + tolerance-gated quantile estimates (q_50 etc.).
+    checkable) + tolerance-gated quantile estimates (q_0_5 etc.).
     """
     from ..functions.tdigest import TDigest
 
@@ -510,7 +533,12 @@ def tdigest_stats(
         yield pd.DataFrame({"sketch": [td.serialize()]})
 
     partials = df.select(value_col).mapInPandas(partial, "sketch binary")
-    qcols = ", ".join(f"q_{int(q * 100)} double" for q in quantiles)
+    # label by the full decimal, not int(q*100): truncation mislabels
+    # (0.29 -> q_28 via 28.999...) and collides (0.99 / 0.999)
+    qnames = [_quantile_col_name(q) for q in quantiles]
+    if len(set(qnames)) != len(qnames):
+        raise ValueError(f"duplicate quantiles: {quantiles}")
+    qcols = ", ".join(f"{c} double" for c in qnames)
     schema = f"min_value double, max_value double, total_weight long, {qcols}"
 
     def merge(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -522,8 +550,8 @@ def tdigest_stats(
             "max_value": [td.max if not td.is_empty() else None],
             "total_weight": [td.total_weight()],
         }
-        for q in quantiles:
-            row[f"q_{int(q * 100)}"] = [td.quantile(q)]
+        for q, c in zip(quantiles, qnames):
+            row[c] = [td.quantile(q)]
         return pd.DataFrame(row)
 
     return (
@@ -743,17 +771,21 @@ class _CouponAccumulator:
         return keys, blobs
 
 
-def _typed_coupons(vals: pd.Series, coupons_u64s, coupons_bytes) -> np.ndarray:
+def _typed_coupons(
+    vals: pd.Series, coupons_u64s, coupons_bytes, integral: bool | None = None
+) -> np.ndarray:
     """Typed item dispatch for the HLL/CPC coupon kernels — the same
     contract as the theta surface and the SQL registry's _typed_update:
     ints via the u64 path, floats via canonical_double → u64 bit
     pattern (the reference's ``update_f64``), NOT str(v), so sketches
     built over the same float column on any surface carry identical
-    coupons and union correctly."""
+    coupons and union correctly. ``integral`` = declared-type override
+    (see :func:`_is_integral`): a null-carrying integer batch arrives
+    as float64 and must still take the u64 path."""
     from ..hashes import canonical_double
 
     arr = vals.dropna().to_numpy()
-    if arr.dtype.kind in ("i", "u"):
+    if arr.dtype.kind in ("i", "u") or (integral and arr.dtype.kind == "f"):
         return coupons_u64s(arr.astype(np.int64).view(np.uint64))
     if arr.dtype.kind == "f":
         return coupons_u64s(canonical_double(arr.astype(np.float64)))
@@ -770,6 +802,7 @@ def _hll_partials_counted(
     from ..functions.hll import HllSketch, serialize_coupons
 
     key_type = dict(df.dtypes)[key_col]
+    integral = _is_integral(df, item_col)
     k = 1 << lg_k
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -783,7 +816,10 @@ def _hll_partials_counted(
                 acc.add(
                     key,
                     _typed_coupons(
-                        vals, HllSketch.coupons_from_u64s, HllSketch.coupons_from_bytes
+                        vals,
+                        HllSketch.coupons_from_u64s,
+                        HllSketch.coupons_from_bytes,
+                        integral,
                     ),
                 )
         keys, blobs = acc.emit(
@@ -837,6 +873,7 @@ def _cpc_partials_counted(
     from ..functions.cpc import CpcSketch, serialize_cpc_coupons
 
     key_type = dict(df.dtypes)[key_col]
+    integral = _is_integral(df, item_col)
     k = 1 << lg_k
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -851,7 +888,10 @@ def _cpc_partials_counted(
                 acc.add(
                     key,
                     _typed_coupons(
-                        vals, CpcSketch.coupons_from_u64s, CpcSketch.coupons_from_bytes
+                        vals,
+                        CpcSketch.coupons_from_u64s,
+                        CpcSketch.coupons_from_bytes,
+                        integral,
                     ),
                 )
         keys, blobs = acc.emit(

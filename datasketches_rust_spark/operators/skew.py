@@ -46,6 +46,9 @@ def exact_distinct_by_key(df: DataFrame, key_col: str, item_col: str) -> DataFra
     """
     return (
         df.select(key_col, item_col)
+        # COUNT(DISTINCT item) ignores NULL items; distinct() would
+        # keep a (key, NULL) row and count it as a value
+        .filter(F.col(item_col).isNotNull())
         .distinct()
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("distinct_count"))
@@ -66,13 +69,23 @@ def salted_agg(
     states the decomposition explicitly (e.g. collect_set →
     flatten(collect_set), sum → sum).
 
-    ``salt_source``: column whose hash drives the salt (defaults to
-    the key itself XOR nothing useful — pass the value column for
-    spreading identical keys). Deterministic: same data → same salted
+    ``salt_source``: column whose hash drives the salt. REQUIRED —
+    pass a value column (or any row-varying expression source): a salt
+    derived from the key would be constant across a hot key's rows,
+    landing them all in one (key, salt) group and defeating the
+    mitigation entirely, which is exactly the silent failure this
+    function exists to prevent. Deterministic: same data → same salted
     partials → same merged result.
     """
-    src = salt_source or key_col
-    salted = df.withColumn("_salt", F.pmod(F.hash(F.col(src)), F.lit(n_salts)))
+    if salt_source is None:
+        raise ValueError(
+            "salt_source is required: salting by the key itself gives every "
+            "row of a hot key the same salt (no skew mitigation); pass the "
+            "value column or another row-varying column"
+        )
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts))
+    )
     partials = salted.groupBy(key_col, "_salt").agg(partial_agg.alias("_partial"))
     return partials.groupBy(key_col).agg(merge_agg.alias("agg"))
 

@@ -136,17 +136,31 @@ class IncrementalNearDup:
         new_sigs = text_signatures(
             new_rows, self.id_col, self.text_col, self.cfg
         ).localCheckpoint(eager=True)
-        new_sigs.write.mode("append").parquet(self.sig_path)
-
-        sigs = spark.read.parquet(self.sig_path).localCheckpoint(eager=True)
+        # full state = prior state + this batch, composed in memory so
+        # the edge append can happen BEFORE the signature append
+        sigs = (
+            prev.unionByName(new_sigs) if prev is not None else new_sigs
+        ).localCheckpoint(eager=True)
         # delta-banding: only buckets that gained a member re-pair
         touched = (
             explode_bands(new_sigs, "_id").select("band_id", "band_key").distinct()
         )
         new_edges = verified_text_pairs(sigs, self.cfg, touched_keys=touched)
+        # WRITE ORDER MATTERS for at-least-once retry: edges first,
+        # signatures second. A crash between the two re-delivers the
+        # batch, the anti-join still sees its rows as new (signatures
+        # not yet appended), and the edges are recomputed — appended
+        # twice at worst, which dropDuplicates absorbs. The reverse
+        # order (signatures first) made a retry anti-join the rows
+        # away so their buckets never paired: permanent edge loss.
         new_edges.write.mode("append").parquet(self.edges_path)
+        new_sigs.write.mode("append").parquet(self.sig_path)
 
-        edges = spark.read.parquet(self.edges_path).dropDuplicates(["a", "b"])
+        edges = (
+            spark.read.schema(new_edges.schema)
+            .parquet(self.edges_path)
+            .dropDuplicates(["a", "b"])
+        )
         all_ids = sigs.select(F.col("_id").alias("id"))
         out = assign_clusters(all_ids, edges, self.cfg)
         out.write.mode("overwrite").parquet(self.clusters_path)
@@ -188,10 +202,11 @@ def streaming_theta_distinct(stream_df: DataFrame, key_col: str, item_col: str,
 
     from ..config import ThetaConfig
     from ..functions.theta import ThetaSketch, theta_union
-    from ..operators.sketch_aggs import _sketch_values
+    from ..operators.sketch_aggs import _is_integral, _sketch_values
 
     cfg = cfg or ThetaConfig()
     key_type = dict(stream_df.dtypes)[key_col]
+    integral = _is_integral(stream_df, item_col)
 
     def update_fn(key, pdfs, state):
         sk = (
@@ -201,7 +216,7 @@ def streaming_theta_distinct(stream_df: DataFrame, key_col: str, item_col: str,
         )
         for pdf in pdfs:
             if len(pdf):
-                sk = theta_union([sk, _sketch_values(pdf[item_col], cfg)])
+                sk = theta_union([sk, _sketch_values(pdf[item_col], cfg, integral)])
         state.update((sk.serialize_compressed(),))
         yield pd.DataFrame(
             {key_col: [key[0]], "distinct_estimate": [sk.estimate()]}
@@ -248,7 +263,15 @@ def streaming_tdigest_quantiles(
 
     from ..functions.tdigest import TDigest
 
-    qcols = [f"q_{int(q * 100)}" for q in quantiles]
+    # name by the full decimal, not int(q*100): truncation mislabels
+    # (0.29 -> q_28 via 28.999...) and collides (0.99 and 0.999 both
+    # -> q_99, a duplicate column that kills the stream with a state
+    # schema mismatch)
+    from ..operators.sketch_aggs import _quantile_col_name
+
+    qcols = [_quantile_col_name(q) for q in quantiles]
+    if len(set(qcols)) != len(qcols):
+        raise ValueError(f"duplicate quantiles: {quantiles}")
     key_type = dict(stream_df.dtypes)[key_col]
 
     def update_fn(key, pdfs, state):

@@ -255,8 +255,8 @@ def test_streaming_tdigest_quantiles_stateful(spark, tmp_path):
         vals = np.array(
             [v for kk, v in rows1 + rows2 if kk == k], dtype=np.float64
         )
-        assert abs(latest.loc[k, "q_50"] / np.quantile(vals, 0.5) - 1) < 0.03
-        assert abs(latest.loc[k, "q_90"] / np.quantile(vals, 0.9) - 1) < 0.02
+        assert abs(latest.loc[k, "q_0_5"] / np.quantile(vals, 0.5) - 1) < 0.03
+        assert abs(latest.loc[k, "q_0_9"] / np.quantile(vals, 0.9) - 1) < 0.02
 
 
 def test_streaming_frequent_items_stateful(spark, tmp_path):

@@ -155,3 +155,89 @@ def test_multimodal_clusters_custom_id_col(spark):
         ).collect()
     }
     assert got == base
+
+
+def test_exact_distinct_ignores_null_items(spark):
+    from datasketches_rust_spark.operators.skew import exact_distinct_by_key
+
+    df = spark.createDataFrame(
+        [("k1", "a"), ("k1", None), ("k2", None)], "k string, v string"
+    )
+    got = {r.k: r.distinct_count for r in exact_distinct_by_key(df, "k", "v").collect()}
+    # COUNT(DISTINCT v): NULLs ignored -> k1 has 1, k2 has 0 (no row
+    # after the null filter -> absent, same as SQL GROUP BY over an
+    # empty post-filter group)
+    assert got.get("k1") == 1
+    assert "k2" not in got or got["k2"] == 0
+
+
+def test_salted_agg_requires_salt_source(spark):
+    from datasketches_rust_spark.operators.skew import salted_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("k", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="salt_source"):
+        salted_agg(df, "k", F.sum("v"), F.sum("_partial"))
+
+
+def test_sketch_aggs_integral_dispatch_survives_nulls(spark):
+    """A null-carrying BIGINT group arrives in pandas as float64; the
+    declared-type dispatch must still hash values via the u64 path so
+    sketches from null-carrying and null-free groups union correctly."""
+    from datasketches_rust_spark.operators.sketch_aggs import theta_distinct_by_key
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", None), ("a", 7), ("b", 5), ("b", 7)],
+        "k string, v long",
+    )
+    got = {r.k: r.distinct_estimate for r in theta_distinct_by_key(df, "k", "v").collect()}
+    assert got == {"a": 2.0, "b": 2.0}
+
+    # and a global sketch over the union counts 5 once, not twice
+    from datasketches_rust_spark.operators.sketch_aggs import theta_distinct_global
+
+    n = theta_distinct_global(df, "v").collect()[0][0]
+    assert n == 2.0
+
+
+def test_audio_features_short_clip_no_nan(spark):
+    """Clips shorter than one FFT frame must not emit NaN features
+    with decode_ok=True (they previously all collapsed onto one
+    garbage fingerprint)."""
+    import struct
+
+    import pandas as pd
+
+    from datasketches_rust_spark.operators.media import audio_features
+
+    def pcm16(n):
+        return b"".join(struct.pack("<h", (i * 997) % 2000 - 1000) for i in range(n))
+
+    rows = [
+        ("short", pcm16(100), 16000, 1, "pcm16"),
+        ("one", pcm16(1), 16000, 1, "pcm16"),
+        ("full", pcm16(4096), 16000, 1, "pcm16"),
+    ]
+    df = spark.createDataFrame(
+        rows, "audio_id string, bytes binary, sample_rate int, n_channels int, fmt string"
+    )
+    out = {r.audio_id: r for r in audio_features(df).collect()}
+    for aid in ("short", "one", "full"):
+        r = out[aid]
+        assert r.decode_ok, aid
+        assert not pd.isna(r.zcr) and not pd.isna(r.rms), aid
+    # short clips must not share one degenerate fingerprint with
+    # unrelated short clips of different content
+    assert out["short"].audio_simhash != out["one"].audio_simhash
+
+
+def test_resize_failure_rows_do_not_claim_target_dims(spark):
+    from datasketches_rust_spark.operators.images import resize_images
+
+    df = spark.createDataFrame(
+        [("bad", b"not an image", "png")], "image_id string, bytes binary, fmt string"
+    )
+    r = resize_images(df, 8, 8).collect()[0]
+    assert r.resize_ok is False
+    assert r.w is None and r.h is None
+    assert bytes(r.bytes) == b"not an image"
