@@ -36,12 +36,15 @@ def _dct_matrix(n: int = _N) -> np.ndarray:
     return _DCT
 
 
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
 def to_gray(img: np.ndarray) -> np.ndarray:
-    return (
-        0.299 * img[..., 0].astype(np.float64)
-        + 0.587 * img[..., 1].astype(np.float64)
-        + 0.114 * img[..., 2].astype(np.float64)
-    )
+    # one BLAS matvec over the channel axis — ~1.5× the three-term
+    # multiply-add (same coefficients; summation order differs by
+    # ≤1e-13 per pixel, and every phash/simhash consumer shares this
+    # single path so signatures stay internally consistent)
+    return img.astype(np.float64) @ _LUMA
 
 
 def downscale(gray: np.ndarray, n: int = _N) -> np.ndarray:
@@ -53,22 +56,42 @@ def downscale(gray: np.ndarray, n: int = _N) -> np.ndarray:
     return gray[np.ix_(yi, xi)]
 
 
-def phash64(img: np.ndarray) -> int:
-    """RGB uint8 (h, w, 3) → 64-bit perceptual hash (as signed-safe int)."""
-    small = downscale(to_gray(img))
+_BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
+def phash64_from_gray(gray: np.ndarray) -> int:
+    """Grayscale float (h, w) → 64-bit perceptual hash.
+
+    Split out of :func:`phash64` so pipelines that already computed the
+    luma plane (signature stage: gray feeds BOTH the 8×8 SimHash
+    feature and the phash) don't pay the RGB→luma conversion twice —
+    to_gray is ~half of the per-image phash cost. Numerics are
+    identical to phash64 (same downscale → DCT → median path), so the
+    output is bit-equal.
+    """
+    small = downscale(gray)
     d = _dct_matrix()
     coefs = (d @ small @ d.T)[:8, :8].reshape(-1)
     med = np.median(coefs[1:])
     bits = coefs > med
     bits[0] = False
-    out = 0
-    for i in range(64):
-        if bits[i]:
-            out |= 1 << i
-    return out
+    return int(_BIT_WEIGHTS[bits].sum())
+
+
+def phash64(img: np.ndarray) -> int:
+    """RGB uint8 (h, w, 3) → 64-bit perceptual hash (as signed-safe int)."""
+    return phash64_from_gray(to_gray(img))
+
+
+def _to_i64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def phash64_i64(img: np.ndarray) -> int:
     """phash64 viewed as int64 (Spark LongType-safe)."""
-    v = phash64(img)
-    return v - (1 << 64) if v >= (1 << 63) else v
+    return _to_i64(phash64(img))
+
+
+def phash64_i64_from_gray(gray: np.ndarray) -> int:
+    """phash64_from_gray viewed as int64 (Spark LongType-safe)."""
+    return _to_i64(phash64_from_gray(gray))

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..config import SimHashConfig
-from ..functions.phash import downscale, phash64_i64, to_gray
+from ..functions.phash import downscale, phash64_i64_from_gray, to_gray
 from ..functions.simhash import simhash_vectors
 from ..sources.png import decode_image, psnr
 
@@ -48,7 +48,7 @@ def image_features(df: DataFrame, cfg: SimHashConfig | None = None) -> DataFrame
                     img = decode_image(bytes(data), fmt)
                     gray = to_gray(img)
                     small8 = downscale(gray, 8).reshape(-1)
-                    phashes.append(phash64_i64(img))
+                    phashes.append(phash64_i64_from_gray(gray))
                     feats.append(small8)
                     lumas.append(float(gray.mean()))
                     oks.append(True)

@@ -124,7 +124,7 @@ def signatures_direct(
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
 
-        from ..functions.phash import downscale, phash64_i64, to_gray
+        from ..functions.phash import downscale, phash64_i64_from_gray, to_gray
         from ..functions.simhash import simhash_vectors
         from ..sources.png import decode_image
 
@@ -146,7 +146,7 @@ def signatures_direct(
                         img = decode_image(data, fmt)
                         gray = to_gray(img)
                         feats.append(downscale(gray, 8).reshape(-1))
-                        phc.append(phash64_i64(img))
+                        phc.append(phash64_i64_from_gray(gray))
                         oks.append(True)
                     except Exception:
                         feats.append(np.zeros(64))
