@@ -210,3 +210,23 @@ def test_candidate_pairs_adaptive_fast_path(spark):
     plan = out._jdf.queryExecution().toString()
     assert "_salt" not in plan  # chain strata absent
     assert "_nsalts" not in plan
+
+
+def test_scratch_buffer_reuse_no_cross_batch_contamination():
+    """The permuted-value scratch buffer (functions/minhash._pv_buffer)
+    is reused across calls within one worker process. Interleaving
+    batches of different sizes must leave every signature identical to
+    a fresh-process computation — a stale-region read would surface
+    here as a changed min."""
+    import numpy as np
+
+    big = [f"word{i} alpha beta gamma delta {i * 7}" for i in range(40)]
+    small = ["tiny one", "tiny two"]
+    ref_big = minhash_signatures(big, CFG).copy()
+    ref_small = minhash_signatures(small, CFG).copy()
+    # big → small → big: the small batch writes only a prefix of the
+    # buffer the big batch faulted in; the second big batch must not
+    # see any of small's leftovers (and vice versa)
+    for _ in range(3):
+        assert np.array_equal(minhash_signatures(small, CFG), ref_small)
+        assert np.array_equal(minhash_signatures(big, CFG), ref_big)
