@@ -244,12 +244,35 @@ def _host_fault_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _host_cpu_probe() -> float:
+    """Seconds for a fixed single-thread streaming pass over WARM
+    pages (pre-faulted, so it is ORTHOGONAL to the fault probe). The
+    host has throughput-degradation phases the fault probe cannot
+    see: the same 32 MB-working-set engine kernel measured 12.5M and
+    4.9M ops/s an hour apart with the fault probe reading clean
+    (~0.02 s) both times. This probe stamps the warm-page streaming
+    rate (clean ≈ 0.015 s for 512 MB moved) as a second independent
+    weather axis; a residual variance mode exists that NEITHER probe
+    fully captures (run-to-run kernel rates vary ~2× within one
+    process) — min-of-passes remains the primary defense, these
+    stamps the posthoc evidence."""
+    import numpy as np
+
+    x = np.ones(32 * 1024 * 1024 // 8, dtype=np.float64)  # 32 MB
+    float(x.sum())  # fault + warm every page before timing
+    t0 = time.perf_counter()
+    for _ in range(8):
+        x *= 1.0000001  # read+write stream over the full buffer
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     t_start = time.monotonic()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
     probe_before = _host_fault_probe()
+    cpu_before = _host_cpu_probe()
     os.environ["_SPARK_GRAFT_PROBE_S"] = str(probe_before)
 
     if os.environ.get("SPARK_GRAFT_HEADLINE", "1") != "0":
@@ -279,6 +302,9 @@ def main() -> None:
         # headline (clean ≈ 0.05; reclaim phases measure seconds) — read
         # absolute totals in their light
         "host_fault_s": [probe_before, _host_fault_probe()],
+        # warm-page streaming stamp (orthogonal to the fault probe —
+        # see _host_cpu_probe): clean ≈ 0.015 s
+        "host_cpu_s": [cpu_before, _host_cpu_probe()],
     }
     # full-precision detail — all passes per query (the unselected
     # distribution alongside the min), medians, env — lands in the
