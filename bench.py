@@ -436,9 +436,13 @@ def _run_scaling(result: dict, detail: dict, t_start: float) -> None:
 
 def _emit(result: dict, detail: dict) -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # never let a partial invocation (SPARK_GRAFT_HEADLINE=0 smoke run,
+    # scaling-only pass) overwrite a complete recorded distribution
+    has_content = bool(detail.get("queries_min")) or "scaling_round_pairs" in detail
     try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1)
+        if has_content:
+            with open(detail_path, "w") as f:
+                json.dump(detail, f, indent=1)
     except OSError:
         pass  # read-only checkout: the stdout line is the record
 
