@@ -245,25 +245,32 @@ def _host_fault_probe() -> float:
 
 
 def _host_cpu_probe() -> float:
-    """Seconds for a fixed single-thread streaming pass over WARM
-    pages (pre-faulted, so it is ORTHOGONAL to the fault probe). The
-    host has throughput-degradation phases the fault probe cannot
-    see: the same 32 MB-working-set engine kernel measured 12.5M and
-    4.9M ops/s an hour apart with the fault probe reading clean
-    (~0.02 s) both times. This probe stamps the warm-page streaming
-    rate (clean ≈ 0.015 s for 512 MB moved) as a second independent
-    weather axis; a residual variance mode exists that NEITHER probe
-    fully captures (run-to-run kernel rates vary ~2× within one
-    process) — min-of-passes remains the primary defense, these
-    stamps the posthoc evidence."""
+    """Seconds for one deployed engine-kernel call (countmin
+    update_batch, 2M int64 rows) — the throughput weather axis the
+    fault probe cannot see. The degraded dimension is scalar u64 ALU
+    rate (AVX2 has no 64-bit integer multiply, so every sketch hash
+    kernel is scalar-bound): this exact call measured 12.5M ops/s
+    (clean, REFBENCH.json) vs 2.5M ops/s hours apart while BOTH the
+    fault probe and an f64-SIMD streaming probe read clean — so the
+    stamp must run the u64 kernel itself. Clean ≈ 0.16 s; a reading
+    of 2× that means every hash-kernel stage in this artifact is
+    ~that much inflated. A residual variance mode exists that neither
+    probe fully captures — min-of-passes remains the primary defense,
+    these stamps the posthoc evidence."""
     import numpy as np
 
-    x = np.ones(32 * 1024 * 1024 // 8, dtype=np.float64)  # 32 MB
-    float(x.sum())  # fault + warm every page before timing
-    t0 = time.perf_counter()
-    for _ in range(8):
-        x *= 1.0000001  # read+write stream over the full buffer
-    return round(time.perf_counter() - t0, 3)
+    from datasketches_rust_spark.functions.countmin import CountMinSketch
+
+    vals = np.arange(2_000_000, dtype=np.int64)
+    warm = CountMinSketch(num_hashes=3, num_buckets=1024)
+    warm.update_batch(vals[:100_000])
+    best = float("inf")
+    for _ in range(2):
+        sk = CountMinSketch(num_hashes=3, num_buckets=1024)
+        t0 = time.perf_counter()
+        sk.update_batch(vals)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -302,8 +309,8 @@ def main() -> None:
         # headline (clean ≈ 0.05; reclaim phases measure seconds) — read
         # absolute totals in their light
         "host_fault_s": [probe_before, _host_fault_probe()],
-        # warm-page streaming stamp (orthogonal to the fault probe —
-        # see _host_cpu_probe): clean ≈ 0.015 s
+        # u64 engine-kernel stamp (orthogonal to the fault probe — see
+        # _host_cpu_probe): clean ≈ 0.16 s
         "host_cpu_s": [cpu_before, _host_cpu_probe()],
     }
     # full-precision detail — all passes per query (the unselected
