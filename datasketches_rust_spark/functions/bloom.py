@@ -22,7 +22,7 @@ from math import ceil, log
 
 import numpy as np
 
-from ..hashes import pack_bytes, xxhash64_arr
+from ..hashes import pack_bytes, xxhash64_arr, xxhash64_u64s
 
 _U64 = np.uint64
 
@@ -71,33 +71,48 @@ class BloomFilter:
         the array's own LE byte image (equivalence pytest-gated)."""
         arr = items if isinstance(items, np.ndarray) else None
         if arr is not None and arr.dtype.kind in ("i", "u") and len(arr):
+            # 8-byte integer keys: the dedicated u64 xxhash kernel skips
+            # the flat-buffer pack and gathers entirely (bit-identical,
+            # equivalence pytest-gated)
             u = (
                 arr.astype(np.uint64)
                 if arr.dtype.kind == "u"
                 else arr.astype(np.int64).view(np.uint64)
             )
-            buf = np.ascontiguousarray(u.astype("<u8")).view(np.uint8)
-            starts = np.arange(len(u), dtype=np.int64) * 8
-            lengths = np.full(len(u), 8, dtype=np.int64)
+            h0 = xxhash64_u64s(u, self.seed)
+            h1 = xxhash64_u64s(u, h0)  # per-row seed, reference order
         else:
             bts = [self._to_bytes(i) for i in items]
             buf, starts, lengths = pack_bytes(bts)
-        h0 = xxhash64_arr(buf, starts, lengths, self.seed)
-        h1 = np.empty_like(h0)
-        # h1 = xxhash64(item, seed=h0) — per-row seed; reuse the u64
-        # fast path only for 8-byte items, else full re-hash per seed
-        # group is infeasible → hash the 8-byte h0 with item-hash h0 as
-        # data? No: mirror the reference exactly — xxhash64(item, h0).
-        # Vectorized by re-running the kernel with per-row seeds.
-        h1 = _xxhash64_arr_per_row_seed(buf, starts, lengths, h0)
+            h0 = xxhash64_arr(buf, starts, lengths, self.seed)
+            # h1 = xxhash64(item, seed=h0) — mirror the reference
+            # exactly by re-running the kernel with per-row seeds
+            h1 = _xxhash64_arr_per_row_seed(buf, starts, lengths, h0)
         i = np.arange(1, self.num_hashes + 1, dtype=np.uint64)
         pos = ((h0[:, None] + i[None, :] * h1[:, None]) >> _U64(1)) % _U64(self.num_bits)
         return pos
 
     def insert_batch(self, items: list) -> None:
         pos = self._bit_positions(items).reshape(-1)
-        words, bits = np.divmod(pos, _U64(64))
-        np.bitwise_or.at(self.words, words.astype(np.int64), _U64(1) << bits)
+        if len(pos) == 0:
+            return
+        # group-OR via sort + reduceat: faster than np.bitwise_or.at's
+        # unbuffered scatter, same result (OR is commutative/
+        # idempotent). Bit indices fit u32 up to 2^32 filter bits
+        # (num_bits is capped far below); u32 sort is ~2x the u64 sort.
+        if self.num_bits < (1 << 32):
+            pos = np.sort(pos.astype(np.uint32))
+            words = pos >> np.uint32(6)
+            masks = _U64(1) << (pos & np.uint32(63)).astype(np.uint64)
+        else:
+            pos = np.sort(pos)
+            words = pos >> _U64(6)
+            masks = _U64(1) << (pos & _U64(63))
+        group_starts = np.flatnonzero(words[1:] != words[:-1]) + 1
+        group_starts = np.concatenate(([0], group_starts))
+        orred = np.bitwise_or.reduceat(masks, group_starts)
+        widx = words[group_starts].astype(np.int64)  # unique → fancy assign safe
+        self.words[widx] |= orred
 
     def insert(self, item) -> None:
         self.insert_batch([item])

@@ -95,14 +95,10 @@ def icon_estimate(lg_k: int, num_coupons: int) -> float:
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
-    v = x.astype(np.uint64).copy()
-    bl = np.zeros(len(v), dtype=np.int64)
-    for s in (32, 16, 8, 4, 2, 1):
-        m = v >= (_U64(1) << _U64(s))
-        bl[m] += s
-        v[m] >>= _U64(s)
-    bl += (v == 1).astype(np.int64)
-    return 64 - bl
+    """Exact vectorized count-leading-zeros (shared frexp kernel)."""
+    from ..hashes import clz64
+
+    return clz64(x)
 
 
 def _kxp_byte_table() -> list[float]:
@@ -153,6 +149,16 @@ class CpcSketch:
         rows = (h1 & _U64(self.k - 1)).astype(np.int64)
         cols = np.minimum(_clz64(h2), 63).astype(np.uint64)
         if not self.merge_flag:
+            # Exactness-preserving pre-filter: a coupon whose matrix
+            # bit is already set causes NO state change in the
+            # sequential schedule (it exits via the col<fic fast path
+            # or the novelty check, both side-effect-free), and update
+            # never clears bits — so dropping those up front leaves
+            # every surviving update's view of the state identical.
+            novel = (self.matrix[rows] & (_U64(1) << cols)) == 0
+            if not novel.all():
+                rows = rows[novel]
+                cols = cols[novel]
             self._update_sequential(rows, cols.astype(np.int64))
         else:
             np.bitwise_or.at(self.matrix, rows, _U64(1) << cols)

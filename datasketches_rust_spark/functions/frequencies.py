@@ -65,9 +65,28 @@ def _item_hash_bytes(item) -> bytes:
 
 def _hash_items(items: list) -> np.ndarray:
     """murmur3 x64-128 h1 with the default update seed — exactly
-    `hash_item` (`MurmurHash3X64128::default()` = seed 9001)."""
-    from ..hashes import DEFAULT_UPDATE_SEED, murmur3_x64_128_arr, pack_bytes
+    `hash_item` (`MurmurHash3X64128::default()` = seed 9001).
 
+    Integer batches take the vectorized u64 kernel: the reference's
+    i64/u64 `Hash` feed is the value's 8 LE bytes, which is exactly
+    the int64/uint64 bit image, so `murmur3_x64_128_u64s` is
+    bit-identical to packing through `_item_hash_bytes` (equivalence
+    gated in tests)."""
+    from ..hashes import (
+        DEFAULT_UPDATE_SEED,
+        murmur3_x64_128_arr,
+        murmur3_x64_128_u64s,
+        pack_bytes,
+    )
+
+    arr = np.asarray(items)
+    if arr.dtype.kind in "iu" and arr.dtype.itemsize <= 8:
+        if arr.dtype.kind == "i":
+            u = arr.astype(np.int64, copy=False).view(np.uint64)
+        else:
+            u = arr.astype(np.uint64, copy=False)
+        h1, _h2 = murmur3_x64_128_u64s(u, DEFAULT_UPDATE_SEED)
+        return h1
     buf, starts, lengths = pack_bytes([_item_hash_bytes(i) for i in items])
     h1, _h2 = murmur3_x64_128_arr(buf, starts, lengths, DEFAULT_UPDATE_SEED)
     return h1
@@ -108,12 +127,17 @@ class FrequentItemsSketch:
             raise ValueError("max_map_size capped at 2^24")
         if self._keys is None:
             self._alloc(1 << self._LG_MIN_MAP_SIZE)
+        else:
+            self._cap = int(len(self._keys) * 0.75)
+            self._mask = len(self._keys) - 1
 
     def _alloc(self, size: int) -> None:
         self._keys = [None] * size
         self._vals = [0] * size
         self._states = [0] * size
         self._num_active = 0
+        self._cap = int(size * 0.75)
+        self._mask = size - 1
 
     @property
     def counters(self) -> dict:
@@ -131,13 +155,13 @@ class FrequentItemsSketch:
 
     @property
     def _cur_map_cap(self) -> int:
-        return int(len(self._keys) * 0.75)
+        return self._cap
 
     # -- probe-table primitives (`reverse_purge_item_hash_map.rs`) ----------
 
     def _adjust_or_put(self, key, amount: int, h: int) -> None:
         """`adjust_or_put_value` (:71-95): linear probe, drift state."""
-        mask = len(self._keys) - 1
+        mask = self._mask
         probe = h & mask
         drift = 1
         states = self._states
@@ -159,7 +183,7 @@ class FrequentItemsSketch:
         states[delete_probe] = 0
         keys[delete_probe] = None
         drift = 1
-        mask = len(keys) - 1
+        mask = self._mask
         probe = (delete_probe + drift) & mask
         while states[probe] != 0:
             if states[probe] > drift:
@@ -194,15 +218,17 @@ class FrequentItemsSketch:
         """`purge` (:126-146): upper median of the first `limit`
         active slots in table order; saturating subtract; drop zeros."""
         limit = min(sample_size, self._num_active, self._SAMPLE_SIZE)
-        samples = []
-        i = 0
-        while len(samples) < limit:
-            if self._states[i] > 0:
-                samples.append(self._vals[i])
-            i += 1
+        # first `limit` active slots in table order, vectorized (counts
+        # are i64 by the wire contract, so the round-trip is lossless)
+        va = np.array(self._vals, dtype=np.int64)
+        active = np.flatnonzero(np.asarray(self._states) > 0)[:limit]
+        samples = va[active]
         mid = len(samples) // 2
-        median = int(np.partition(np.array(samples, dtype=np.int64), mid)[mid])
-        self._vals = [max(0, v - median) for v in self._vals]
+        median = int(np.partition(samples, mid)[mid])
+        # saturating subtract, vectorized
+        va -= median
+        np.maximum(va, 0, out=va)
+        self._vals = va.tolist()
         self._keep_only_positive()
         return median
 
@@ -266,12 +292,18 @@ class FrequentItemsSketch:
             return
         keys = list(vc.index)
         hs = _hash_items(keys)
+        adjust = self._adjust_or_put
+        grow_or_purge = self._maybe_resize_or_purge
+        sw_add = 0
         for item, c, h in zip(keys, vc.to_numpy().tolist(), hs.tolist()):
             if c == 0:
                 continue
-            self.stream_weight += int(c)
-            self._adjust_or_put(item, int(c), h)
-            self._maybe_resize_or_purge()
+            c = int(c)
+            sw_add += c
+            adjust(item, c, h)
+            if self._num_active > self._cap:
+                grow_or_purge()
+        self.stream_weight += sw_add
 
     def merge(self, other: "FrequentItemsSketch") -> "FrequentItemsSketch":
         if other.max_map_size != self.max_map_size:

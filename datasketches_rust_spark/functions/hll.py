@@ -55,15 +55,10 @@ _KEY_MASK_26 = (1 << 26) - 1
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
-    """Exact vectorized count-leading-zeros via binary bit-length."""
-    v = x.astype(np.uint64).copy()
-    bl = np.zeros(len(v), dtype=np.int64)
-    for s in (32, 16, 8, 4, 2, 1):
-        m = v >= (_U64(1) << _U64(s))
-        bl[m] += s
-        v[m] >>= _U64(s)
-    bl += (v == 1).astype(np.int64)
-    return 64 - bl
+    """Exact vectorized count-leading-zeros (shared frexp kernel)."""
+    from ..hashes import clz64
+
+    return clz64(x)
 
 
 def _coupons_from_h(h1: np.ndarray, h2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -132,28 +132,44 @@ class TDigest:
         w_total = self.centroids_weight
         norm = _normalizer(2.0 * self.k, w_total)
 
-        out_m = [means[0]]
-        out_w = [weights[0]]
+        # Hot loop on Python floats: np.float64 scalar arithmetic pays
+        # ~10x interpreter overhead per op, and both types are IEEE-754
+        # binary64 with correctly-rounded ops, so .tolist() keeps every
+        # add/merge decision bit-identical to the prior numpy-scalar
+        # form (parity pinned by the foreign-fixture byte tests).
+        m_list = means.tolist()
+        w_list = weights.tolist()
+        out_m: list[float] = []
+        out_w: list[float] = []
         weight_so_far = 0.0
-        n = len(means)
-        for cur in range(1, n):
-            proposed = out_w[-1] + weights[cur]
-            add_this = False
-            if cur != 1 and cur != n - 1:
-                q0 = weight_so_far / w_total
+        n = len(m_list)
+        n_last = n - 1
+        ml = m_list[0]
+        wl = w_list[0]
+        # _scale_max(q0, norm) only changes when a centroid is emitted
+        sm0 = 0.0  # q0 = 0 at the start
+        emit_m = out_m.append
+        emit_w = out_w.append
+        for cur, mc, wc in zip(range(1, n), m_list[1:], w_list[1:]):
+            proposed = wl + wc
+            if 1 < cur < n_last:
                 q2 = (weight_so_far + proposed) / w_total
-                add_this = proposed <= w_total * min(
-                    _scale_max(q0, norm), _scale_max(q2, norm)
-                )
-            if add_this:
-                # weighted-mean merge into the last centroid
-                w_new = out_w[-1] + weights[cur]
-                out_m[-1] += (means[cur] - out_m[-1]) * weights[cur] / w_new
-                out_w[-1] = w_new
-            else:
-                weight_so_far += out_w[-1]
-                out_m.append(means[cur])
-                out_w.append(weights[cur])
+                sm2 = q2 * (1.0 - q2) / norm
+                lim = sm0 if sm0 < sm2 else sm2
+                if proposed <= w_total * lim:
+                    # weighted-mean merge into the last centroid
+                    ml += (mc - ml) * wc / proposed
+                    wl = proposed
+                    continue
+            weight_so_far += wl
+            emit_m(ml)
+            emit_w(wl)
+            ml = mc
+            wl = wc
+            q0 = weight_so_far / w_total
+            sm0 = q0 * (1.0 - q0) / norm
+        out_m.append(ml)
+        out_w.append(wl)
         self.means = np.array(out_m, np.float64)
         self.weights = np.array(out_w, np.float64)
         if self.reverse_merge:

@@ -434,8 +434,23 @@ def hash_series(vals, cfg: ThetaConfig, integral: bool | None = None) -> np.ndar
 
 
 def _canonicalize(hashes: np.ndarray, theta: int, k: int, seed_hash: int) -> ThetaSketch:
-    """Distinct + screen + bottom-k trim → canonical sketch."""
-    h = np.unique(hashes.astype(np.uint64, copy=False))
+    """Distinct + screen + bottom-k trim → canonical sketch.
+
+    Large inputs take an exact selection fast path: the m+1 smallest
+    elements (np.partition, O(n)) contain every distinct value ≤ their
+    max, so when > k distinct screened values survive among them, the
+    k+1 smallest distinct values of the full input are provably all
+    there and the full O(n log n) unique-sort is skipped. Too few
+    survivors (heavy duplication or screening) falls back to the full
+    path — same answer either way."""
+    h = hashes.astype(np.uint64, copy=False)
+    m = k + (k >> 2) + 256
+    if len(h) > 2 * m:
+        cand = np.unique(np.partition(h, m)[: m + 1])
+        cand = cand[(cand != 0) & (cand < np.uint64(theta))]
+        if len(cand) > k:
+            return ThetaSketch(cand[:k], int(cand[k]), seed_hash, k)
+    h = np.unique(h)
     h = h[(h != 0) & (h < np.uint64(theta))]
     if len(h) > k:
         theta = int(h[k])  # (k+1)-th smallest distinct → new theta

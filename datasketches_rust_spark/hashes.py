@@ -204,6 +204,25 @@ def _vfmix64(k: np.ndarray) -> np.ndarray:
     return k ^ (k >> _U64(33))
 
 
+def clz64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized count-leading-zeros of uint64 values.
+
+    frexp of the (round-to-nearest) float64 image gives an exponent
+    equal to the bit length b — except when the conversion rounds up
+    to exactly 2^b, overestimating by one; ``v >> (b-1) == 0`` detects
+    that exactly (and exponent 65, only reachable by rounding up to
+    2^64, is always an overestimate). clz(0) = 64, matching the
+    pre-round binary-search kernel this replaces.
+    """
+    v = x.astype(np.uint64, copy=False)
+    _, be = np.frexp(v.astype(np.float64))
+    be = be.astype(np.int64)
+    pos = be > 0
+    sh = np.where((be > 0) & (be <= 64), be - 1, 0).astype(np.uint64)
+    over = pos & (np.where(be <= 64, (v >> sh) == 0, True))
+    return 64 - (be - over)
+
+
 def pack_bytes(items: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pack a python list of bytes into (flat uint8 buf, starts, lengths)."""
     lengths = np.fromiter((len(b) for b in items), dtype=np.int64, count=len(items))
@@ -385,6 +404,29 @@ def theta_hash_bytes(
     """Theta-convention 63-bit hash of raw byte strings: murmur h1 >> 1."""
     h1, _ = murmur3_x64_128_arr(buf, starts, lengths, seed)
     return h1 >> _U64(1)
+
+
+def xxhash64_u64s(vals: np.ndarray, seeds) -> np.ndarray:
+    """Vectorized xxhash64 of uint64 keys encoded as 8 LE bytes, with
+    a scalar or per-row-vector seed — the 8-byte specialization of
+    ``xxhash64_arr`` (no stripes, one 8-byte tail chunk, avalanche),
+    bit-identical to it on the same inputs (equivalence pytest-gated).
+    Skips the flat-buffer pack and every ``_gather_u64``."""
+    v = vals.astype(np.uint64, copy=False)
+    if np.ndim(seeds) == 0:
+        h = np.full(len(v), (int(seeds) + _P5 + 8) & MASK64, dtype=np.uint64)
+    else:
+        h = seeds.astype(np.uint64, copy=False) + _U64(_P5 + 8)
+    k1 = v * _U64(_P2)
+    k1 = _vrotl(k1, 31)
+    k1 = k1 * _U64(_P1)
+    h = h ^ k1
+    h = _vrotl(h, 27) * _U64(_P1) + _U64(_P4)
+    h = h ^ (h >> _U64(33))
+    h = h * _U64(_P2)
+    h = h ^ (h >> _U64(29))
+    h = h * _U64(_P3)
+    return h ^ (h >> _U64(32))
 
 
 def xxhash64_arr(

@@ -235,3 +235,27 @@ def test_bloom_contains_and_insert_sequential_equivalence():
         bf.contains_and_insert_batch(items[137:])
     )
     assert split == expect
+
+
+def test_clz64_frexp_kernel_exact():
+    """The frexp-based clz64 must be exact everywhere the old binary-
+    search kernel was: all power-of-two boundaries, float-rounding
+    hazards (long runs of ones above 2^53), 0, and random streams."""
+    from datasketches_rust_spark.hashes import clz64
+
+    def scalar_clz(v: int) -> int:
+        return 64 - int(v).bit_length()
+
+    cases = [0, 1, 2, 3]
+    for b in range(1, 65):
+        cases += [1 << (b - 1), (1 << (b - 1)) + 1, (1 << b) - 1]
+    cases += [2**53, 2**53 + 1, 2**63 - 1, 2**63, 2**64 - 1, 2**64 - 2**11 + 1]
+    arr = np.array([c % 2**64 for c in cases], dtype=np.uint64)
+    assert clz64(arr).tolist() == [scalar_clz(int(v)) for v in arr]
+    # values that round UP to an exact power of two in float64
+    hz = (np.uint64(2**64 - 1) >> np.arange(64, dtype=np.uint64)).astype(np.uint64)
+    assert clz64(hz).tolist() == [scalar_clz(int(v)) for v in hz]
+    rng = np.random.default_rng(11)
+    for shift in range(0, 64, 5):
+        r = rng.integers(0, 2**63, 20_000, dtype=np.uint64) >> np.uint64(shift)
+        assert clz64(r).tolist() == [scalar_clz(int(v)) for v in r]

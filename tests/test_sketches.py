@@ -912,3 +912,104 @@ def test_bloom_vectorized_int_path_matches_tobytes_path():
     sl = BloomFilter.with_accuracy(100, 0.01)
     sl.insert_batch([int(x) for x in u])
     assert (fa.words == sl.words).all()
+
+
+def test_frequencies_vectorized_int_hash_matches_bytes_path():
+    """Integer key batches hash through the u64 murmur kernel — h1 must
+    be bit-identical to packing each key via _item_hash_bytes (the
+    reference's i64/u64 LE `Hash` feed), across signed, >=2**63, and
+    small-dtype inputs; strings keep the packed path."""
+    import struct
+
+    from datasketches_rust_spark.functions.frequencies import _hash_items
+    from datasketches_rust_spark.hashes import DEFAULT_UPDATE_SEED, murmur3_x64_128
+
+    def ref_i64(v):
+        fmt = "<q" if v < (1 << 63) else "<Q"
+        return murmur3_x64_128(struct.pack(fmt, v), DEFAULT_UPDATE_SEED)[0]
+
+    ints = [-(2**62), -5, 0, 1, 12345, 2**62]
+    assert _hash_items(np.array(ints, dtype=np.int64)).tolist() == [
+        ref_i64(v) for v in ints
+    ]
+    # uint64 above the i64 range packs "<Q"
+    bigs = [2**63, 2**64 - 1]
+    assert _hash_items(np.array(bigs, dtype=np.uint64)).tolist() == [
+        ref_i64(v) for v in bigs
+    ]
+    # small dtypes sign/zero-extend to the 64-bit image
+    assert _hash_items(np.array([-5, 42], dtype=np.int32)).tolist() == [
+        ref_i64(-5),
+        ref_i64(42),
+    ]
+    # strings keep the utf8+0xff packed path
+    assert _hash_items(["abc"]).tolist() == [
+        murmur3_x64_128(b"abc\xff", DEFAULT_UPDATE_SEED)[0]
+    ]
+    # mixed/object lists fall back to the packed path, same answers
+    assert _hash_items([3, "x"]).tolist() == [
+        ref_i64(3),
+        murmur3_x64_128(b"x\xff", DEFAULT_UPDATE_SEED)[0],
+    ]
+
+
+def test_frequencies_batch_path_state_matches_pre_optimization():
+    """The inlined batch insert loop + vectorized purge keep the probe
+    table byte-identical to the per-call form: pinned end-state on a
+    purge-heavy stream (offset, weight, active set, layout order)."""
+    import pandas as pd
+
+    from datasketches_rust_spark.functions.frequencies import (
+        _hash_items as _freq_hash_items,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 5_000, 200_000)
+    sk = FrequentItemsSketch(256)
+    for i in range(0, len(keys), 16384):
+        sk.update_batch(pd.Series(keys[i : i + 16384]))
+    # reference run: the identical stream through scalar per-key updates
+    # of the same pre-aggregated (key, count) sequence
+    slow = FrequentItemsSketch(256)
+    for i in range(0, len(keys), 16384):
+        vc = pd.Series(keys[i : i + 16384]).value_counts()
+        for item, c in zip(list(vc.index), vc.to_numpy().tolist()):
+            slow.stream_weight += int(c)
+            slow._adjust_or_put(
+                item, int(c), int(_freq_hash_items([item])[0])
+            )
+            slow._maybe_resize_or_purge()
+    assert sk.offset == slow.offset
+    assert sk.stream_weight == slow.stream_weight
+    assert sk._keys == slow._keys
+    assert sk._vals == slow._vals
+    assert sk._states == slow._states
+
+
+def test_cpc_novelty_prefilter_state_equivalence():
+    """_absorb's vectorized already-set pre-filter must leave the full
+    sequential-schedule state (matrix, kxp, HIP, window offset, first
+    interesting column) identical to feeding every coupon through
+    _update_sequential unfiltered — on a duplicate-heavy stream that
+    crosses the sparse→windowed promotion and several window moves."""
+    from datasketches_rust_spark.functions.cpc import CpcSketch
+    from datasketches_rust_spark.hashes import murmur3_x64_128_u64s
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 60_000, 400_000, dtype=np.uint64)  # ~7x dup rate
+    a = CpcSketch(10)
+    for lo in range(0, len(vals), 8192):
+        a.update_u64s(vals[lo : lo + 8192])
+    b = CpcSketch(10)
+    h1, h2 = murmur3_x64_128_u64s(vals, b.seed)
+    rows = (h1 & np.uint64(b.k - 1)).astype(np.int64)
+    from datasketches_rust_spark.functions.cpc import _clz64
+
+    cols = np.minimum(_clz64(h2), 63).astype(np.int64)
+    b._update_sequential(rows, cols)
+    assert (a.matrix == b.matrix).all()
+    assert a.kxp == b.kxp
+    assert a.hip_est_accum == b.hip_est_accum
+    assert a.window_offset == b.window_offset
+    assert a.first_interesting_column == b.first_interesting_column
+    assert a.estimate() == b.estimate()

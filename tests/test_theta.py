@@ -382,3 +382,37 @@ def test_v4_rejects_duplicate_entries():
     )._serialize_v4()
     with pytest.raises(ValueError, match="strictly increasing"):
         ThetaSketch.deserialize(bad, cfg)
+
+
+def test_canonicalize_selection_fast_path_equivalence():
+    """The np.partition fast path in _canonicalize must produce the
+    identical sketch (entries, theta) as the full unique-sort path —
+    including under heavy duplication (falls back), heavy theta
+    screening, and exactly-k streams."""
+    from datasketches_rust_spark.functions.theta import ThetaSketch, _canonicalize
+
+    def full_path(arr, theta, k):
+        h = np.unique(arr.astype(np.uint64, copy=False))
+        h = h[(h != 0) & (h < np.uint64(theta))]
+        if len(h) > k:
+            return h[:k], int(h[k])
+        return h, theta
+
+    rng = np.random.default_rng(3)
+    k = 4096
+    cases = {
+        "big_distinct": rng.integers(1, 2**63, 300_000, dtype=np.uint64),
+        "heavy_dups": rng.integers(1, 3000, 150_000).astype(np.uint64),
+        "screened": rng.integers(0, 2**63, 150_000, dtype=np.uint64),
+        "small": rng.integers(1, 2**63, 5_000, dtype=np.uint64),
+        "exact_k": np.arange(1, k + 1, dtype=np.uint64),
+        "with_zeros": np.concatenate(
+            [np.zeros(50_000, np.uint64), rng.integers(1, 2**63, 100_000, dtype=np.uint64)]
+        ),
+    }
+    for name, arr in cases.items():
+        theta = 2**61 if name == "screened" else (1 << 63)
+        got = _canonicalize(arr, theta, k, 123)
+        want_entries, want_theta = full_path(arr, theta, k)
+        assert (got.entries == want_entries).all(), name
+        assert got.theta == want_theta, name
