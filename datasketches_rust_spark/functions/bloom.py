@@ -40,7 +40,11 @@ def optimal_hashes(max_items: int, num_bits: int) -> int:
 class BloomFilter:
     num_bits: int
     num_hashes: int
-    seed: int = 0
+    # DEFAULT_UPDATE_SEED = 9001 (reference hash/mod.rs:37) — a
+    # default-config build is bit-identical to the reference's
+    # (REFBENCH check parity); the seed travels in the family-21 blob
+    # either way, so foreign reads never depended on the default
+    seed: int = 9001
     words: np.ndarray = None  # uint64 array
 
     def __post_init__(self) -> None:
@@ -50,7 +54,7 @@ class BloomFilter:
             self.words = np.zeros(self.num_bits // 64, dtype=np.uint64)
 
     @staticmethod
-    def with_accuracy(max_items: int, fpp: float, seed: int = 0) -> "BloomFilter":
+    def with_accuracy(max_items: int, fpp: float, seed: int = 9001) -> "BloomFilter":
         m = optimal_bits(max_items, fpp)
         return BloomFilter(m, optimal_hashes(max_items, m), seed)
 

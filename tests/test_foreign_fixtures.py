@@ -145,6 +145,13 @@ def test_bloom_foreign_decode_reencode_rebuild():
     built.insert_batch(items)
     assert built.serialize() == blob
 
+    # the DEFAULT seed is the reference's DEFAULT_UPDATE_SEED: a
+    # default-config build is bit-identical to a reference build
+    # (hash/mod.rs:37; regression for the round-4 seed-0 default)
+    default_built = BloomFilter.with_accuracy(10_000, 0.01)
+    default_built.insert_batch(items)
+    assert default_built.serialize() == blob
+
 
 # ---------------------------------------------------------------------------
 # countmin
