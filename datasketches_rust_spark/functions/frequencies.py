@@ -221,15 +221,27 @@ class FrequentItemsSketch:
         # first `limit` active slots in table order, vectorized (counts
         # are i64 by the wire contract, so the round-trip is lossless)
         va = np.array(self._vals, dtype=np.int64)
-        active = np.flatnonzero(np.asarray(self._states) > 0)[:limit]
+        act_all = np.flatnonzero(np.asarray(self._states) > 0)
+        active = act_all[:limit]
         samples = va[active]
         mid = len(samples) // 2
         median = int(np.partition(samples, mid)[mid])
         # saturating subtract, vectorized
         va -= median
         np.maximum(va, 0, out=va)
+        # survivor census (vectorized) picks the exact-equivalent fast
+        # path: deleting EVERY active entry leaves the empty layout, so
+        # a fresh same-size table is state-identical and skips ~m
+        # backward-shift deletes (the whole cost on uniform streams,
+        # where the median wipes the table); zero deletions skips the
+        # sweep outright. Mixed case takes the faithful per-slot path.
+        n_dead = int(np.count_nonzero(va[act_all] == 0))
+        if n_dead == self._num_active:
+            self._alloc(len(self._keys))
+            return median
         self._vals = va.tolist()
-        self._keep_only_positive()
+        if n_dead:
+            self._keep_only_positive()
         return median
 
     def _resize(self, new_size: int) -> None:
@@ -290,20 +302,77 @@ class FrequentItemsSketch:
             vc = pd.Series(weights.to_numpy(), index=items.to_numpy()).groupby(level=0).sum()
         if not len(vc):
             return
-        keys = list(vc.index)
-        hs = _hash_items(keys)
-        adjust = self._adjust_or_put
+        batch_keys = list(vc.index)
+        counts_np = vc.to_numpy()
+        hs = _hash_items(batch_keys)
         grow_or_purge = self._maybe_resize_or_purge
-        sw_add = 0
-        for item, c, h in zip(keys, vc.to_numpy().tolist(), hs.tolist()):
+        n = len(batch_keys)
+        # weight hoisted out of the loop (zero-count entries add zero;
+        # integer counts keep stream_weight an int, as before)
+        tot = counts_np.sum()
+        self.stream_weight += int(tot) if counts_np.dtype.kind in "iu" else float(tot)
+        # suffix from which every count == 1 exactly: enables the
+        # wiped-epoch fast-forward below
+        not_one = np.flatnonzero(counts_np != 1)
+        all_ones_from = int(not_one[-1]) + 1 if len(not_one) else 0
+        # _adjust_or_put inlined with the table state in locals: the
+        # per-item attribute loads + call frame were ~half the batch
+        # path's time (REFBENCH). State-identical — locals are rebound
+        # whenever a resize/purge replaces the underlying lists.
+        keys, vals, states, mask = self._keys, self._vals, self._states, self._mask
+        num_active, cap = self._num_active, self._cap
+        counts = counts_np.tolist()
+        hs_list = hs.tolist()
+        idx = 0
+        while idx < n:
+            item, c, h = batch_keys[idx], counts[idx], hs_list[idx]
+            idx += 1
             if c == 0:
                 continue
             c = int(c)
-            sw_add += c
-            adjust(item, c, h)
-            if self._num_active > self._cap:
-                grow_or_purge()
-        self.stream_weight += sw_add
+            probe = h & mask
+            drift = 1
+            while states[probe] != 0:
+                if keys[probe] == item:
+                    vals[probe] += c
+                    break
+                probe = (probe + 1) & mask
+                drift += 1
+            else:
+                keys[probe] = item
+                vals[probe] = c
+                states[probe] = drift
+                num_active += 1
+                if num_active > cap:
+                    self._num_active = num_active
+                    grow_or_purge()
+                    keys, vals, states, mask = (
+                        self._keys, self._vals, self._states, self._mask
+                    )
+                    num_active, cap = self._num_active, self._cap
+                    # Wiped-epoch fast-forward (exact equivalence): the
+                    # purge just emptied a max-size table, and every
+                    # remaining count is exactly 1 — so each span of
+                    # cap+1 distinct unit-count inserts fills the empty
+                    # table to cap+1 all-ones entries, whose purge
+                    # median is 1 and wipes it again (offset += 1).
+                    # Skip those spans wholesale and insert only the
+                    # final partial span; final state is bit-identical
+                    # to the per-item schedule. This is the purge-bound
+                    # regime (uniform key streams — the MG worst case),
+                    # where it removes ~all insert work.
+                    if (
+                        num_active == 0
+                        and idx >= all_ones_from
+                        and len(keys) == self.max_map_size
+                    ):
+                        remaining = n - idx
+                        epoch = cap + 1
+                        spans = remaining // epoch
+                        if spans:
+                            self.offset += spans
+                            idx += spans * epoch
+        self._num_active = num_active
 
     def merge(self, other: "FrequentItemsSketch") -> "FrequentItemsSketch":
         if other.max_map_size != self.max_map_size:

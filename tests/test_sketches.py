@@ -986,6 +986,57 @@ def test_frequencies_batch_path_state_matches_pre_optimization():
     assert sk._states == slow._states
 
 
+def test_frequencies_wiped_epoch_fast_forward_equivalence():
+    """The batch path's wiped-epoch fast-forward (unit-count suffix on
+    an emptied max-size table skips whole purge cycles, bumping offset
+    once per cycle) and the empty-reset purge must leave state
+    bit-identical to the pre-aggregated per-item schedule — across the
+    uniform regime it targets, a mixed-count prefix that disables it,
+    strings, and partial tails."""
+    import pandas as pd
+
+    from datasketches_rust_spark.functions.frequencies import _hash_items
+
+    def per_item(sk, series):
+        vc = series.value_counts()
+        for item, c in zip(list(vc.index), vc.to_numpy().tolist()):
+            if c == 0:
+                continue
+            sk.stream_weight += int(c)
+            sk._adjust_or_put(item, int(c), int(_hash_items([item])[0]))
+            sk._maybe_resize_or_purge()
+
+    rng = np.random.default_rng(13)
+    streams = {
+        # all-unit counts, >> capacity: pure fast-forward regime,
+        # including a non-epoch-aligned tail
+        "uniform": pd.Series((np.arange(120_001) % 60_000).astype(np.int64)),
+        # heavy head then unit tail: fast-forward engages mid-batch
+        "mixed": pd.Series(
+            np.concatenate(
+                [np.repeat(np.arange(50), 40), np.arange(70_000) % 50_000]
+            ).astype(np.int64)
+        ),
+        # strings exercise the packed-hash path
+        "strings": pd.Series(["s%05d" % v for v in rng.integers(0, 30_000, 90_000)]),
+    }
+    for name, data in streams.items():
+        fast, slow = FrequentItemsSketch(1024), FrequentItemsSketch(1024)
+        for lo in range(0, len(data), 16384):
+            fast.update_batch(data[lo : lo + 16384])
+            per_item(slow, data[lo : lo + 16384])
+        item_type = "str" if data.dtype == object else "i64"
+        assert fast.serialize(item_type=item_type) == slow.serialize(
+            item_type=item_type
+        ), name
+        assert (fast.offset, fast.stream_weight, fast._num_active) == (
+            slow.offset,
+            slow.stream_weight,
+            slow._num_active,
+        ), name
+        assert fast._keys == slow._keys and fast._states == slow._states, name
+
+
 def test_cpc_novelty_prefilter_state_equivalence():
     """_absorb's vectorized already-set pre-filter must leave the full
     sequential-schedule state (matrix, kxp, HIP, window offset, first
