@@ -602,9 +602,14 @@ def countmin_weights_by_key(
         yield pd.DataFrame({"sketch": [cm.serialize()]})
 
     partials = df.select(key_col, weight_col).mapInPandas(partial, "sketch binary")
+    # zero partials (an empty zero-partition scan) merge to the empty
+    # sketch instead of crashing — the other families' merge_fns
+    # already handle the [] case
     blob = _tree_merge_blobs(
         partials,
-        lambda blobs: _merge_countmin(blobs).serialize(),
+        lambda blobs: (
+            _merge_countmin(blobs) or CountMinSketch(num_hashes, num_buckets)
+        ).serialize(),
     )
     merged = CountMinSketch.deserialize(blob)
     ub_add = int(merged.relative_error * merged.total_weight)
