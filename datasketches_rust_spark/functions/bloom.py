@@ -194,9 +194,9 @@ class BloomFilter:
     # -- stats ---------------------------------------------------------------
 
     def bits_used(self) -> int:
-        return int(np.bitwise_count(self.words).sum()) if hasattr(np, "bitwise_count") else int(
-            sum(bin(int(w)).count("1") for w in self.words)
-        )
+        from ..hashes import popcount_u64
+
+        return popcount_u64(self.words)
 
     def load_factor(self) -> float:
         return self.bits_used() / self.num_bits

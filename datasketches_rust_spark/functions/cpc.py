@@ -276,9 +276,9 @@ class CpcSketch:
 
     def num_coupons(self) -> int:
         """Count of distinct (row, col) coupons = set bits."""
-        if hasattr(np, "bitwise_count"):
-            return int(np.bitwise_count(self.matrix).sum())
-        return int(sum(bin(int(w)).count("1") for w in self.matrix))
+        from ..hashes import popcount_u64
+
+        return popcount_u64(self.matrix)
 
     def estimate(self) -> float:
         """HIP for a never-merged update-path sketch, ICON otherwise

@@ -364,6 +364,16 @@ def murmur3_x64_128_u64s(
     return _murmur_finalize(h1, h2, _U64(8))
 
 
+def popcount_u64(words: np.ndarray) -> int:
+    """Total set bits of a uint64 array. np.bitwise_count where the
+    numpy build has it (>= 2.0); else a vectorized byte-unpack — the
+    per-word ``bin(int(w)).count`` fallback was ~2 ms per 2048-word
+    CPC matrix and ran once per update chunk."""
+    if hasattr(np, "bitwise_count"):
+        return int(np.bitwise_count(words).sum())
+    return int(np.unpackbits(words.view(np.uint8)).sum())
+
+
 def theta_hash_u64s(vals: np.ndarray, seed: int = DEFAULT_UPDATE_SEED) -> np.ndarray:
     """Theta-convention 63-bit hash of uint64 keys: murmur h1 >> 1
     (`datasketches/src/theta/hash_table.rs:123-128`)."""
