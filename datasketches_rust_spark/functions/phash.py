@@ -95,3 +95,63 @@ def phash64_i64(img: np.ndarray) -> int:
 def phash64_i64_from_gray(gray: np.ndarray) -> int:
     """phash64_from_gray viewed as int64 (Spark LongType-safe)."""
     return _to_i64(phash64_from_gray(gray))
+
+
+def downscale_batch(grays: list, n: int) -> np.ndarray:
+    """Batched :func:`downscale` over same-shape groups — one
+    reshape-mean per distinct shape instead of one per image
+    (bit-identical per element, equivalence pytest-gated). Returns
+    (len(grays), n*n) float64 flattened features in input order."""
+    out = np.empty((len(grays), n * n), dtype=np.float64)
+    by_shape: dict = {}
+    for i, g in enumerate(grays):
+        by_shape.setdefault(g.shape, []).append(i)
+    for (h, w), idxs in by_shape.items():
+        stack = np.stack([grays[i] for i in idxs])
+        b = len(idxs)
+        if h % n == 0 and w % n == 0:
+            small = stack.reshape(b, n, h // n, n, w // n).mean(axis=(2, 4))
+        else:
+            yi = (np.arange(n) * h // n).clip(0, h - 1)
+            xi = (np.arange(n) * w // n).clip(0, w - 1)
+            small = stack[:, yi[:, None], xi[None, :]]
+        out[idxs] = small.reshape(b, -1)
+    return out
+
+
+def phash64_i64_batch_from_grays(grays: list) -> np.ndarray:
+    """Batched phash64_i64_from_gray: same-size luma planes are
+    stacked so the downscale mean, median threshold, and bit packing
+    run once per batch instead of once per image (the per-image
+    ufunc/median dispatch was ~30% of the signature stage). The DCT
+    GEMM stays a per-image (32,32)@(32,32) matmul — a broadcast
+    batched GEMM may route to a different BLAS kernel whose summation
+    order could flip a bit at a median tie; the per-image GEMM keeps
+    the output provably bit-equal to the scalar path (equivalence
+    pytest-gated). Returns int64 array aligned with the input order.
+    """
+    out = np.zeros(len(grays), dtype=np.int64)
+    if not len(grays):
+        return out
+    d = _dct_matrix()
+    by_shape: dict = {}
+    for i, g in enumerate(grays):
+        by_shape.setdefault(g.shape, []).append(i)
+    for (h, w), idxs in by_shape.items():
+        stack = np.stack([grays[i] for i in idxs])
+        b = len(idxs)
+        if h % _N == 0 and w % _N == 0:
+            small = stack.reshape(b, _N, h // _N, _N, w // _N).mean(axis=(2, 4))
+        else:
+            yi = (np.arange(_N) * h // _N).clip(0, h - 1)
+            xi = (np.arange(_N) * w // _N).clip(0, w - 1)
+            small = stack[:, yi[:, None], xi[None, :]]
+        coefs = np.empty((b, 64), dtype=np.float64)
+        for j in range(b):
+            coefs[j] = (d @ small[j] @ d.T)[:8, :8].reshape(-1)
+        med = np.median(coefs[:, 1:], axis=1)
+        bits = coefs > med[:, None]
+        bits[:, 0] = False
+        packed = (bits.astype(np.uint64) * _BIT_WEIGHTS[None, :]).sum(axis=1)
+        out[idxs] = packed.view(np.int64)
+    return out

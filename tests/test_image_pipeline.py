@@ -150,3 +150,31 @@ def test_resize_images_roundtrip(spark):
     up = {r.image_id: r for r in resize_images(df, 64, 64, method="nearest").collect()}
     ru = decode_image(bytes(up["flat"].bytes), "png")
     assert ru.shape == (64, 64, 3) and (ru == 200).all()
+
+
+def test_batched_phash_and_downscale_bit_identical():
+    """The batched signature-stage kernels (downscale_batch,
+    phash64_i64_batch_from_grays) must be bit-equal to the per-image
+    path across mixed sizes, including the nearest-neighbor fallback
+    for non-divisible dims."""
+    import numpy as np
+
+    from datasketches_rust_spark.functions.phash import (
+        downscale,
+        downscale_batch,
+        phash64_i64_batch_from_grays,
+        phash64_i64_from_gray,
+        to_gray,
+    )
+
+    rng = np.random.default_rng(17)
+    grays = [
+        to_gray(rng.integers(0, 256, size=(int(h), int(w), 3), dtype=np.uint8))
+        for h, w in rng.choice([32, 64, 128, 40, 56], size=(200, 2))
+    ]
+    single_feats = np.stack([downscale(g, 8).reshape(-1) for g in grays])
+    assert (downscale_batch(grays, 8) == single_feats).all()
+    single_ph = np.array([phash64_i64_from_gray(g) for g in grays], dtype=np.int64)
+    assert (phash64_i64_batch_from_grays(grays) == single_ph).all()
+    # empty input
+    assert len(phash64_i64_batch_from_grays([])) == 0
