@@ -513,18 +513,25 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH banding path itself, driver-exercised: a SELECTIVE band
-    config (w=7, 4 reps → expected candidate fraction 0.245, below the
-    dense-plan cutoff) at threshold 0.5. With the fixed seed it finds
-    exactly the >= 0.5 exact pair set at sf <= 0.01 (empirically
-    recall 1.0 on this data; the config's theoretical per-pair miss
-    prob at the observed 0.513 cosine is ~0.1 — the data is fixed, so
-    the result is deterministic and oracle-checked)."""
+    """The LSH banding path itself, driver-exercised: wide selective
+    bands (w=7, 8 reps → 72 bands) at threshold 0.5, force_lsh so the
+    selectivity gate cannot reroute to the exact plan. The previous
+    4-rep config had per-pair miss prob ~0.1 at near-threshold cosines
+    and actually missed 4 of 14 true pairs at sf0.1; at 8 reps the
+    miss prob at the 0.50-0.52 tail is ~1%, and with the fixed seed
+    the output equals the exact >= 0.5 pair set at sf0.001/0.01/0.1
+    (empirically recall 1.0 at all three, oracle-checked)."""
     from datasketches_rust_spark.operators.ann import embedding_neardup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(
-        emb, "vec_id", "embedding", cosine_threshold=0.5, band_width=7, n_reps=4
+        emb,
+        "vec_id",
+        "embedding",
+        cosine_threshold=0.5,
+        band_width=7,
+        n_reps=8,
+        force_lsh=True,
     ).select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"), F.col("cosine"))
 
 
