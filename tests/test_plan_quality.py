@@ -29,6 +29,11 @@ LAZY = [
     "events_stratified_sample",
     "exact_dedup_documents",
     "hll_distinct_by_nation",
+    # round-4 media queries: construction generates the tiny fixture
+    # (one-time parquet cache) but the query plan itself stays lazy —
+    # the planted-partner self-join must never degrade to a cartesian
+    "audio_features",
+    "video_fingerprints",
 ]
 
 
