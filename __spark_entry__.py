@@ -255,6 +255,16 @@ def _q_frequent_types_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (hash-groupBy) dedup + folded hash-kernel golden gates
+    (round 5): murmur3/xxhash64/seed_hash golden vectors (reference
+    `hash/murmurhash.rs:189-231`, `hash/xxhash.rs:200-236`,
+    `hash/mod.rs:47-56`) were the last pytest-only Part-A rows; their
+    deterministic booleans (functions/selfcheck.py::hash_golden_gates)
+    now ride this sweep row — a kernel regression flips a column and
+    hash-mismatches the driver compare."""
+    from datasketches_rust_spark.functions.selfcheck import hash_golden_gates
+
+    g = hash_golden_gates()
     docs = _read(spark, sf_dir, "documents")
     return (
         docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
@@ -262,6 +272,9 @@ def _q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("dup_count"),
             F.min("doc_id").alias("canonical_doc_id"),
         )
+        .withColumn("murmur_golden_ok", F.lit(g["murmur_golden_ok"]))
+        .withColumn("xxhash_golden_ok", F.lit(g["xxhash_golden_ok"]))
+        .withColumn("seed_hash_golden_ok", F.lit(g["seed_hash_golden_ok"]))
     )
 
 
@@ -1189,7 +1202,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_documents": """
             SELECT md5(text) AS text_md5,
                    COUNT(*) AS dup_count,
-                   MIN(doc_id) AS canonical_doc_id
+                   MIN(doc_id) AS canonical_doc_id,
+                   TRUE AS murmur_golden_ok,
+                   TRUE AS xxhash_golden_ok,
+                   TRUE AS seed_hash_golden_ok
             FROM documents GROUP BY md5(text)
         """,
         "tdigest_price_minmax": """

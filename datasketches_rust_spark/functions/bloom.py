@@ -43,7 +43,13 @@ class BloomFilter:
     # DEFAULT_UPDATE_SEED = 9001 (reference hash/mod.rs:37) — a
     # default-config build is bit-identical to the reference's
     # (REFBENCH check parity); the seed travels in the family-21 blob
-    # either way, so foreign reads never depended on the default
+    # either way, so foreign reads never depended on the default.
+    # COMPATIBILITY NOTE (changed in round 4, default was 0 before):
+    # union/intersect require matching (num_bits, num_hashes, seed),
+    # so filters persisted under the old default 0 cannot be merged
+    # with freshly default-built filters — deserialize them (the blob
+    # carries seed 0) and merge against filters built with seed=0
+    # explicitly, or rebuild.
     seed: int = 9001
     words: np.ndarray = None  # uint64 array
 

@@ -309,8 +309,14 @@ class FrequentItemsSketch:
         n = len(batch_keys)
         # weight hoisted out of the loop (zero-count entries add zero;
         # integer counts keep stream_weight an int, as before)
-        tot = counts_np.sum()
-        self.stream_weight += int(tot) if counts_np.dtype.kind in "iu" else float(tot)
+        if counts_np.dtype.kind in "iu":
+            self.stream_weight += int(counts_np.sum())
+        else:
+            # float weights: truncate per distinct item, matching the
+            # loop's `c = int(c)` below — stream_weight stays an int so
+            # serialize()'s '<Q' pack never sees a float (a float here
+            # previously raised struct.error on serialize)
+            self.stream_weight += int(np.trunc(counts_np).sum())
         # suffix from which every count == 1 exactly: enables the
         # wiped-epoch fast-forward below
         not_one = np.flatnonzero(counts_np != 1)

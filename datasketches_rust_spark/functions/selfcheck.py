@@ -26,6 +26,7 @@ __all__ = [
     "theta_serde_gates",
     "hll_estimator_gates",
     "minhash_kernel_gates",
+    "hash_golden_gates",
 ]
 
 
@@ -387,6 +388,104 @@ def minhash_kernel_gates() -> dict[str, bool]:
         and (merged == np.minimum(sigs[0], sigs[3])).all()
     )
     return {"minhash_kernel_ok": bool(kernel_ok), "minhash_merge_ok": merge_ok}
+
+
+def hash_golden_gates() -> dict[str, bool]:
+    """Hash-kernel golden vectors as driver-visible booleans (the last
+    pytest-only Part-A rows): murmur3 x64-128 scalar + vectorized vs
+    the reference's verbatim test vectors (`hash/murmurhash.rs:189-231`),
+    xxhash64 scalar + vectorized vs the reference's length-sweep vectors
+    (`hash/xxhash.rs:200-236`), and seed→seed_hash
+    (`hash/mod.rs:47-56`). The u64 fast paths (the kernels every theta/
+    HLL/CPC build actually runs) are pinned to literals derived from
+    the golden-pinned scalar byte path (equivalence proven in
+    tests/test_hashes.py; the literals here freeze that state against
+    regression)."""
+    from ..hashes import (
+        compute_seed_hash,
+        murmur3_x64_128,
+        murmur3_x64_128_arr,
+        murmur3_x64_128_u64s,
+        pack_bytes,
+        theta_hash_u64s,
+        xxhash64,
+        xxhash64_arr,
+        xxhash64_u64s,
+    )
+
+    murmur_vectors = [
+        # (key, seed, h1, h2) — reference murmurhash.rs:189-231 verbatim
+        (b"The quick brown fox jumps over the lazy dog", 0,
+         0xE34BBC7BBC071B6C, 0x7A433CA9C49A9347),
+        (b"The quick brown fox jumps over the lazy eog", 0,
+         0x362108102C62D1C9, 0x3285CD100292B305),
+        (b"The quick brown fox jumps over the lazy dogdogdog", 0,
+         0x9C8205300E612FC4, 0xCBC0AF6136AA3DF9),
+        (b"The quick brown fox jumps over the lazy1", 0,
+         0xE3301A827E5CDFE3, 0xBDBF05F8DA0F0392),
+        (b"The quick brown fox jumps over t", 0,
+         0xDF6AF91BB29BDACF, 0x91A341C58DF1F3A6),
+    ]
+    scalar_ok = all(
+        murmur3_x64_128(k, s) == (e1, e2) for k, s, e1, e2 in murmur_vectors
+    )
+    buf, starts, lengths = pack_bytes([k for k, _, _, _ in murmur_vectors])
+    v1, v2 = murmur3_x64_128_arr(buf, starts, lengths, seed=0)
+    vec_ok = all(
+        (int(v1[i]), int(v2[i])) == (e1, e2)
+        for i, (_, _, e1, e2) in enumerate(murmur_vectors)
+    )
+    u64_vals = np.array([0, 1, 12345, (1 << 63) - 1], dtype=np.uint64)
+    u1, u2 = murmur3_x64_128_u64s(u64_vals, seed=9001)
+    th = theta_hash_u64s(u64_vals, seed=9001)
+    u64_ok = (
+        [int(x) for x in u1]
+        == [0x40890191DCC2D7CB, 0x0B430D7B96FBF22B, 0x67B7283CF739CDF6, 0x378C281569B4BAFF]
+        and [int(x) for x in u2]
+        == [0x9A7ACDBE1B80EFB2, 0xE8EA0960D4246765, 0x5176E0D4908867C9, 0x3D30CC98FFFA7545]
+        and [int(x) for x in th]
+        == [0x204480C8EE616BE5, 0x05A186BDCB7DF915, 0x33DB941E7B9CE6FB, 0x1BC6140AB4DA5D7F]
+    )
+
+    # xxhash64 vectors: reference xxhash.rs:200-236 — hashes of the
+    # first `n` bytes of the reference's deterministic prime-walk buffer
+    gen, xx_buf = 0x9E3779B1, bytearray(101)
+    for i in range(101):
+        xx_buf[i] = (gen >> 56) & 0xFF
+        gen = (gen * 0x9E3779B185EBCA8D) & ((1 << 64) - 1)
+    xx_buf = bytes(xx_buf)
+    xx_vectors = [
+        (0, 0, 0xEF46DB3751D8E999),
+        (1, 0, 0xE934A84ADB052768),
+        (32, 0, 0x18B216492BB44B70),
+        (33, 0, 0x55C8DC3E578F5B59),
+        (100, 0, 0x4BFE019CD91D9EA4),
+        (0, 0x9E3779B1, 0xAC75FDA2929B17EF),
+        (1, 0x9E3779B1, 0x5014607643A9B4C3),
+        (32, 0x9E3779B1, 0xB3F33BDF93ADE409),
+        (100, 0x9E3779B1, 0x4853706DC9625CAE),
+    ]
+    xx_scalar_ok = all(xxhash64(xx_buf[:n], s) == e for n, s, e in xx_vectors)
+    keys0 = [xx_buf[:n] for n, s, _ in xx_vectors if s == 0]
+    b0, s0, l0 = pack_bytes(keys0)
+    xv = xxhash64_arr(b0, s0, l0, seed=0)
+    xx_vec_ok = [int(x) for x in xv] == [e for _, s, e in xx_vectors if s == 0]
+    xseeds = np.array([0, 9001, 9001, 42], dtype=np.uint64)
+    xu = xxhash64_u64s(u64_vals, xseeds)
+    xx_u64_ok = [int(x) for x in xu] == [
+        0x34C96ACDCADB1BBB, 0xEFE8454A6499F311, 0x136835E11309B824, 0xD2F1C616AE7EB306
+    ]
+
+    seed_ok = compute_seed_hash(9001) == 37836 and compute_seed_hash(0) == 50123
+    seed_consistent = all(
+        compute_seed_hash(s) == (murmur3_x64_128(int(s).to_bytes(8, "little"), 0)[0] & 0xFFFF)
+        for s in (1, 9001, 0xDEADBEEF)
+    )
+    return {
+        "murmur_golden_ok": bool(scalar_ok and vec_ok and u64_ok),
+        "xxhash_golden_ok": bool(xx_scalar_ok and xx_vec_ok and xx_u64_ok),
+        "seed_hash_golden_ok": bool(seed_ok and seed_consistent),
+    }
 
 
 def cpc_wrapper_gates() -> dict[str, bool]:

@@ -21,6 +21,7 @@ from datasketches_rust_spark.functions import selfcheck
         selfcheck.theta_serde_gates,
         selfcheck.hll_estimator_gates,
         selfcheck.minhash_kernel_gates,
+        selfcheck.hash_golden_gates,
     ],
 )
 def test_all_gates_true(fn):
@@ -41,5 +42,6 @@ def test_gates_deterministic():
         selfcheck.theta_serde_gates,
         selfcheck.hll_estimator_gates,
         selfcheck.minhash_kernel_gates,
+        selfcheck.hash_golden_gates,
     ):
         assert fn() == fn()

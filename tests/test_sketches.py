@@ -181,6 +181,23 @@ def test_frequencies_exact_regime():
     assert [i[0] for i in items] == [1]
 
 
+def test_frequencies_float_weights_serialize():
+    """ADVICE round 4: float weights must keep stream_weight an int
+    (per-distinct-item truncation, matching the insert loop's
+    `c = int(c)`) so serialize()'s '<Q' pack never raises."""
+    import pandas as pd
+
+    sk = FrequentItemsSketch(64)
+    sk.update_batch(
+        pd.Series(["a", "b", "a"]), pd.Series([1.9, 2.5, 1.0], dtype="float64")
+    )
+    # per-distinct truncation: a -> int(2.9) = 2, b -> int(2.5) = 2
+    assert sk.stream_weight == 4 and isinstance(sk.stream_weight, int)
+    assert sk.estimate("a") == 2 and sk.estimate("b") == 2
+    rt = FrequentItemsSketch.deserialize(sk.serialize(), "str")
+    assert rt.stream_weight == 4 and rt.counters == sk.counters
+
+
 def test_frequencies_purge_and_merge():
     sk = FrequentItemsSketch(16)
     for i in range(100):
