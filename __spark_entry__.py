@@ -11,6 +11,7 @@ detection + mergeable-sketch analytics (see SURVEY.md §2).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -108,6 +109,115 @@ def _q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # law — the signature stage under every near-dup query here
         F.lit(g["minhash_kernel_ok"]).alias("minhash_kernel_ok"),
         F.lit(g["minhash_merge_ok"]).alias("minhash_merge_ok"),
+    )
+
+
+def _q_resume_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible checkpoint/resume evidence (the north rule's
+    "resumes mid-banding without recomputing sketches"; reference
+    contract: the serialize→validate→deserialize ladder,
+    `theta/sketch.rs:622-727`, SURVEY.md §3.3).
+
+    Runs the resumable pipeline twice over a deterministic 200-doc
+    slice: (A) fresh to completion; (B) signatures stage completed,
+    then the manifest amputated to half its buckets — the killed-mid-
+    banding state — and the pipeline restarted. Four booleans ride the
+    oracle row:
+
+    - resume_matches_fresh        — resumed (id, cluster_id) ≡ fresh;
+    - resume_only_missing_buckets — the restart recomputed exactly the
+      manifest-missing signature buckets (metrics table evidence);
+    - resume_kept_buckets_untouched — parquet files of completed
+      buckets byte-stable across the resume (size + mtime);
+    - lineage_guard_ok            — resuming under a different config
+      raises instead of splicing incompatible state (the VALIDATE rung).
+    """
+    import json
+    import shutil
+    import tempfile
+
+    from datasketches_rust_spark.config import DedupConfig
+    from datasketches_rust_spark.operators.dedup import (
+        resumable_near_dup_pipeline,
+        text_signatures,
+    )
+    from datasketches_rust_spark.sources.checkpoint import CheckpointManager
+
+    cfg = DedupConfig()
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    n_buckets = 8
+    base = tempfile.mkdtemp(prefix="spark_graft_resume_gate_")
+    try:
+        fresh = resumable_near_dup_pipeline(
+            spark, docs, "doc_id", "text", os.path.join(base, "fresh"), cfg, n_buckets
+        )
+        fresh_rows = sorted((r["id"], r["cluster_id"]) for r in fresh.collect())
+
+        # stage 1 of the "killed" run: signatures complete on disk...
+        wd = os.path.join(base, "resumed")
+        cp = CheckpointManager(wd, n_buckets)
+        sig_lineage = {"input": "source", "config": repr(cfg.minhash)}
+
+        def compute_signatures(slice_df: DataFrame) -> DataFrame:
+            sigs = text_signatures(slice_df, "doc_id", "text", cfg)
+            return sigs.withColumn("_bucket", cp.bucket_col("_id"))
+
+        cp.run_stage(spark, "signatures", docs, "doc_id", compute_signatures,
+                     lineage=sig_lineage)
+        # ...then the manifest loses half its buckets (kill mid-commit)
+        man_path = cp._manifest_path("signatures")
+        with open(man_path) as f:
+            man = json.load(f)
+        kept_buckets = man["completed_buckets"][: n_buckets // 2]
+        missing = sorted(set(man["completed_buckets"]) - set(kept_buckets))
+        man["completed_buckets"] = kept_buckets
+        with open(man_path, "w") as f:
+            json.dump(man, f)
+
+        def bucket_files(bs):
+            out = {}
+            for b in bs:
+                d = os.path.join(wd, "signatures", f"_bucket={b}")
+                for fn in sorted(os.listdir(d)):
+                    p = os.path.join(d, fn)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+            return out
+
+        kept_before = bucket_files(kept_buckets)
+
+        resumed = resumable_near_dup_pipeline(
+            spark, docs, "doc_id", "text", wd, cfg, n_buckets
+        )
+        resumed_rows = sorted((r["id"], r["cluster_id"]) for r in resumed.collect())
+        metrics = cp.read_metrics("signatures")
+
+        matches = resumed_rows == fresh_rows and len(fresh_rows) > 0
+        only_missing = sorted(metrics.get("buckets_recomputed", [])) == missing
+        untouched = bucket_files(kept_buckets) == kept_before
+
+        # the VALIDATE rung: a config change must refuse to resume
+        import dataclasses
+
+        cfg2 = dataclasses.replace(
+            cfg, minhash=dataclasses.replace(cfg.minhash, jaccard_threshold=0.6)
+        )
+        try:
+            resumable_near_dup_pipeline(
+                spark, docs, "doc_id", "text", wd, cfg2, n_buckets
+            )
+            lineage_guard = False
+        except ValueError:
+            lineage_guard = True
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    return (
+        docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("resume_matches_fresh", F.lit(bool(matches)))
+        .withColumn("resume_only_missing_buckets", F.lit(bool(only_missing)))
+        .withColumn("resume_kept_buckets_untouched", F.lit(bool(untouched)))
+        .withColumn("lineage_guard_ok", F.lit(bool(lineage_guard)))
     )
 
 
@@ -1010,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_text_clusters": _q_neardup_text_clusters,
         "neardup_clusters_exact": _q_neardup_clusters_exact,
         "dedup_summary": _q_dedup_summary,
+        "resume_equivalence": _q_resume_equivalence,
         "theta_distinct_by_nation": _q_theta_distinct_by_nation,
         "theta_union_orders": _q_theta_union_orders,
         "theta_jaccard_even_odd": _q_theta_jaccard_even_odd,
@@ -1353,6 +1464,19 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS minhash_kernel_ok,
                    TRUE AS minhash_merge_ok
             FROM clusters
+        """,
+        # resume gates: the Spark side runs the resumable pipeline
+        # fresh + killed-mid-banding-then-resumed and computes the
+        # booleans from real on-disk checkpoint state; the oracle pins
+        # the doc count of the deterministic slice plus literal TRUE —
+        # a resume regression flips a column and hash-mismatches.
+        "resume_equivalence": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   TRUE AS resume_matches_fresh,
+                   TRUE AS resume_only_missing_buckets,
+                   TRUE AS resume_kept_buckets_untouched,
+                   TRUE AS lineage_guard_ok
+            FROM documents WHERE doc_id < 200
         """,
         # image-invariant oracles: the Spark side computes the booleans
         # from real decoded pixels (mapInPandas); the oracle pins the

@@ -516,3 +516,21 @@ def test_float_hash_parity_hll_dataframe_vs_sql(spark):
     for k in range(3):
         assert got[k] == ref.estimate(), (got, ref.estimate())
         assert abs(got[k] / 500.0 - 1.0) < 0.02
+
+
+def test_resume_equivalence_gates_all_true(spark):
+    """The round-5 driver-visible resume row: every folded boolean must
+    hold (a False here means the sweep row hash-mismatches too)."""
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["resume_equivalence"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["n_docs"] == 200
+    for gate in (
+        "resume_matches_fresh",
+        "resume_only_missing_buckets",
+        "resume_kept_buckets_untouched",
+        "lineage_guard_ok",
+    ):
+        assert row[gate] is True, gate
