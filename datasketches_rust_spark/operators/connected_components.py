@@ -51,16 +51,23 @@ from pyspark.sql import functions as F
 _log = logging.getLogger(__name__)
 
 
-def _driver_components(sym: DataFrame) -> DataFrame:
-    """Min-label CC of a small symmetric edge frame, NumPy-vectorized
-    on the driver. Same fixpoint as the distributed loop (labels =
-    min id per component over dense sorted indices, so min dense
-    index == min id for any orderable id type)."""
-    pdf = sym.toPandas()
-    uniq, inv = np.unique(
-        np.concatenate([pdf["s"].to_numpy(), pdf["d"].to_numpy()]), return_inverse=True
+def _driver_components(und: DataFrame) -> DataFrame:
+    """Min-label CC of a small undirected edge frame (canonical s<=d,
+    deduplicated), NumPy-vectorized on the driver. Same fixpoint as
+    the distributed loop; the min-propagation runs over hash-order
+    dense codes (``pd.factorize`` is O(n); ``np.unique``'s comparison
+    sort of the full edge list was >90% of this path's time on string
+    ids — 1.4 s vs 0.06 s at 400k edges), then one argsort of the
+    UNIQUE ids restores the min-id-per-component labeling exactly."""
+    import pandas as pd
+
+    pdf = und.toPandas()
+    m = len(pdf)
+    codes, uniq = pd.factorize(
+        np.concatenate([pdf["s"].to_numpy(), pdf["d"].to_numpy()])
     )
-    s_i, d_i = inv[: len(pdf)], inv[len(pdf) :]
+    uniq = np.asarray(uniq)
+    s_i, d_i = codes[:m], codes[m:]
     lab = np.arange(len(uniq))
     while True:
         nxt = lab.copy()
@@ -74,11 +81,20 @@ def _driver_components(sym: DataFrame) -> DataFrame:
         if np.array_equal(nxt, lab):
             break
         lab = nxt
-    import pandas as pd
+    # appearance-order codes make `lab` an arbitrary (but consistent)
+    # per-component representative; map each component to its true min
+    # id via ranks over the sorted unique ids — sorting n_vertices,
+    # not 2×n_edges
+    order = np.argsort(uniq, kind="stable")
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq))
+    min_rank = np.full(len(uniq), len(uniq), dtype=np.int64)
+    np.minimum.at(min_rank, lab, rank)
+    cluster = uniq[order[min_rank[lab]]]
 
-    out = pd.DataFrame({"id": uniq, "cluster_id": uniq[lab]})
-    id_type = sym.schema["s"].dataType
-    return sym.sparkSession.createDataFrame(
+    out = pd.DataFrame({"id": uniq, "cluster_id": cluster})
+    id_type = und.schema["s"].dataType
+    return und.sparkSession.createDataFrame(
         out, schema=f"id {id_type.simpleString()}, cluster_id {id_type.simpleString()}"
     )
 
@@ -96,26 +112,38 @@ def connected_components(
     ``driver_max_edges`` (counted exactly on the materialized frame)
     solve driver-side (module docstring "Plan choice"); pass 0 to force
     the distributed loop.
+
+    Dedup runs on the CANONICAL UNDIRECTED frame (least, greatest) —
+    half the rows of the old symmetric-then-distinct shape, so the
+    dedup shuffle, the gating count, and the driver collect all move
+    half the bytes; the symmetric frame the distributed loop needs is
+    a union of the already-distinct canonical rows (no second
+    distinct). Mirrored duplicate inputs (both (x,y) and (y,x))
+    canonicalize to the same row and dedup exactly as before.
     """
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("s"),
+            F.greatest(F.col(src), F.col(dst)).alias("d"),
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
 
     if driver_max_edges:
-        n_sym = sym.count()
-        if n_sym <= 2 * driver_max_edges:
+        n_und = und.count()
+        if n_und <= driver_max_edges:
             _log.info(
-                "connected_components: %d symmetric edges <= %d — driver NumPy path",
-                n_sym,
-                2 * driver_max_edges,
+                "connected_components: %d undirected edges <= %d — driver NumPy path",
+                n_und,
+                driver_max_edges,
             )
-            return _driver_components(sym)
+            return _driver_components(und)
         _log.info(
-            "connected_components: %d symmetric edges — distributed loop", n_sym
+            "connected_components: %d undirected edges — distributed loop", n_und
         )
+
+    sym = und.union(und.select(F.col("d").alias("s"), F.col("s").alias("d")))
 
     labels = (
         sym.select(F.col("s").alias("id"))

@@ -314,46 +314,83 @@ def near_dup_multimodal_clusters_from_path(
     ).select("_id", "bk.family", "bk.band_id", "bk.band_key")
 
     pairs = multi_family_candidate_pairs(banded, cfg)
-    side = sigs_all.select("image_id", "signature", "phash", "pixel_simhash", "decode_ok")
-    ja = side.select(
+
+    # Family-split verification (round 5). The old single join shipped
+    # the WIDE side (128-slot MinHash signature ≈ 1 KB/row) through two
+    # shuffle joins for every candidate pair, although the bulk of the
+    # pairs (image-family 8-bit-chunk collisions) need only the 8-byte
+    # phash/pixel hashes. Now: (1) the image gates evaluate against a
+    # NARROW (id, phash, pixel, decode_ok ≈ 26 B/row) side — explicitly
+    # broadcast when the signature frame is provably small (row count
+    # known from the checkpointed frame; same size-guarded pattern as
+    # operators/ann.py), shuffle-join fallback otherwise; (2) only the
+    # image-unverified text candidates reach the wide signature join,
+    # typically a small fraction of the pair set. The verified edge SET
+    # is identical: a pair survived iff ANY family gate passed, and the
+    # branches below partition the pair set by exactly those gates
+    # (equivalence-tested against the DataFrame-API pipeline in
+    # tests/test_entry_queries.py).
+    narrow = sigs_all.select("image_id", "phash", "pixel_simhash", "decode_ok")
+    n_rows = sigs_all.count()
+    if n_rows <= 2_000_000:  # ≈50 MB narrow-side hash table
+        narrow = F.broadcast(narrow)
+    na = narrow.select(
         F.col("image_id").alias("a"),
-        F.col("signature").alias("sig_a"),
         F.col("phash").alias("ph_a"),
         F.col("pixel_simhash").alias("px_a"),
         F.col("decode_ok").alias("ok_a"),
     )
-    jb = side.select(
+    nb = narrow.select(
         F.col("image_id").alias("b"),
-        F.col("signature").alias("sig_b"),
         F.col("phash").alias("ph_b"),
         F.col("pixel_simhash").alias("px_b"),
         F.col("decode_ok").alias("ok_b"),
     )
     ht = F.lit(cfg.simhash.hamming_threshold)
-    verified = (
-        pairs.join(ja, on="a")
-        .join(jb, on="b")
-        .filter(
-            (F.col("text_chained") == 1)
-            | (
-                (F.col("text_chained") == 0)
-                & (
-                    jaccard_from_signatures("sig_a", "sig_b")
-                    >= F.lit(cfg.minhash.jaccard_threshold)
+    gated = (
+        pairs.join(na, on="a")
+        .join(nb, on="b")
+        .withColumn(
+            "img_ok",
+            # coalesce: a NULL gate (e.g. null pixel hash) must behave
+            # exactly like the old OR-chain — "not admitted here", but
+            # still eligible for the text branch below
+            F.coalesce(
+                (
+                    (F.col("phash_hit") == 1)
+                    & (F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= ht)
                 )
-            )
-            | (
-                (F.col("phash_hit") == 1)
-                & (F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= ht)
-            )
-            | (
-                (F.col("pixel_hit") == 1)
-                & F.col("ok_a")
-                & F.col("ok_b")
-                & (F.bit_count(F.col("px_a").bitwiseXOR(F.col("px_b"))) <= ht)
-            )
+                | (
+                    (F.col("pixel_hit") == 1)
+                    & F.col("ok_a")
+                    & F.col("ok_b")
+                    & (F.bit_count(F.col("px_a").bitwiseXOR(F.col("px_b"))) <= ht)
+                ),
+                F.lit(False),
+            ),
+        )
+        .select("a", "b", "text_chained", "img_ok")
+    )
+    img_or_chain_edges = gated.filter(
+        F.col("img_ok") | (F.col("text_chained") == 1)
+    ).select("a", "b")
+    jac_pairs = gated.filter(~F.col("img_ok") & (F.col("text_chained") == 0)).select(
+        "a", "b"
+    )
+    sig_side = sigs_all.select("image_id", "signature")
+    sa = sig_side.select(F.col("image_id").alias("a"), F.col("signature").alias("sig_a"))
+    sb = sig_side.select(F.col("image_id").alias("b"), F.col("signature").alias("sig_b"))
+    txt_edges = (
+        jac_pairs.join(sa, on="a")
+        .join(sb, on="b")
+        .filter(
+            jaccard_from_signatures("sig_a", "sig_b")
+            >= F.lit(cfg.minhash.jaccard_threshold)
         )
         .select("a", "b")
     )
+    # branches are disjoint by construction (pairs are unique and the
+    # filters partition on img_ok/text_chained) — plain union, no dedup
+    verified = img_or_chain_edges.unionByName(txt_edges)
     all_ids = sigs_all.select(F.col("image_id").alias("id"))
     return assign_clusters(all_ids, verified, cfg)

@@ -102,16 +102,22 @@ def _stratified_pairs(banded: DataFrame, bucket_cols: list[str], cap: int) -> Da
       boundary pair per adjacent salt.
 
     The probe costs ONE job (count per bucket, map-side combined, then
-    max — the shuffle carries one row per distinct bucket); on the hot
-    path the sizes frame is rebuilt lazily for the join back, so the
-    rare case pays one extra pass and the common case pays none.
+    max — the shuffle carries one row per distinct bucket). Round 5:
+    the pruned sizes frame is MATERIALIZED by that same job
+    (localCheckpoint) and reused for the hot-path join back, so the
+    hot case no longer pays a second full pass over the banded
+    fan-out to rebuild the counts it just computed — at 10^12 rows
+    that is one whole aggregation of the fan-out saved whenever any
+    bucket is hot; the common clique-only case pays only the (tiny —
+    one row per multi-member bucket) materialization.
     """
-    row = (
+    sizes = (
         banded.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
-        .agg(F.max("_n").alias("m"))
-        .first()
+        .filter(F.col("_n") >= 2)
+        .localCheckpoint(eager=True)
     )
+    row = sizes.agg(F.max("_n").alias("m")).first()
     max_n = row["m"] if row is not None else None
 
     if max_n is None or max_n <= cap:
@@ -126,11 +132,6 @@ def _stratified_pairs(banded: DataFrame, bucket_cols: list[str], cap: int) -> Da
             .select(*bucket_cols, "p.a", "p.b", F.lit(0).alias("chained"))
         )
 
-    sizes = (
-        banded.groupBy(*bucket_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-    )
     sized = banded.join(sizes, bucket_cols)
 
     normal = (
