@@ -103,12 +103,26 @@ class TDigest:
         # of 4x capacity, `sketch.rs:84-94`) — one giant merge of a
         # sorted batch measurably degrades mid-quantile accuracy
         pos = 0
-        while pos < len(vals):
-            room = self.buffer_capacity - len(self.buffer)
+        n = len(vals)
+        cap = self.buffer_capacity
+        while pos < n:
+            if not self.buffer and n - pos >= cap:
+                # full chunk over an empty buffer: feed _do_merge the
+                # numpy slice directly — the same float64 values in the
+                # same order the tolist()->extend->np.array round trip
+                # would produce, so every merge decision is bit-identical
+                # (gated by test_tdigest_batch_fastpath_equivalence);
+                # skipping the list round trip is ~2x on large batches
+                self._do_merge(
+                    vals[pos : pos + cap], np.ones(cap, np.float64), float(cap)
+                )
+                pos += cap
+                continue
+            room = cap - len(self.buffer)
             take = vals[pos : pos + room]
             self.buffer.extend(take.tolist())
             pos += len(take)
-            if len(self.buffer) >= self.buffer_capacity:
+            if len(self.buffer) >= cap:
                 self.compress()
 
     def compress(self) -> None:

@@ -102,6 +102,63 @@ def test_tdigest_many_values_gates():
     assert pmf[1] == pytest.approx(0.5, abs=1e-4)
 
 
+def _tdigest_update_batch_old_schedule(td, vals):
+    """The pre-fast-path update_batch loop, verbatim: fill the Python
+    list buffer chunk by chunk and compress at capacity. The fast path
+    must reproduce this schedule's serialized state byte-for-byte."""
+    vals = np.asarray(vals, np.float64)
+    vals = vals[np.isfinite(vals)]
+    if len(vals) == 0:
+        return
+    td.min = min(td.min, float(vals.min()))
+    td.max = max(td.max, float(vals.max()))
+    pos = 0
+    while pos < len(vals):
+        room = td.buffer_capacity - len(td.buffer)
+        take = vals[pos : pos + room]
+        td.buffer.extend(take.tolist())
+        pos += len(take)
+        if len(td.buffer) >= td.buffer_capacity:
+            td.compress()
+
+
+def test_tdigest_batch_fastpath_equivalence():
+    """update_batch's empty-buffer full-chunk fast path (numpy slice
+    straight into _do_merge) must be bit-identical to the old
+    list-buffer round trip — serialized bytes compared across stream
+    shapes, k values, batch splits, and a scalar-seeded buffer."""
+    rng = np.random.default_rng(42)
+    streams = {
+        "uniform": rng.uniform(0, 1e6, 30000),
+        "zipf": rng.zipf(1.3, 30000).astype(np.float64),
+        "sorted": np.sort(rng.normal(0, 1, 25000)),
+        "with_nonfinite": np.concatenate(
+            [rng.normal(0, 1, 9000), [np.nan, np.inf, -np.inf] * 100]
+        ),
+        "tiny": rng.uniform(0, 1, 37),
+    }
+    for k in (100, 200):
+        for name, vals in streams.items():
+            for split in (None, 7, 1234):
+                a = TDigest(k)
+                b = TDigest(k)
+                if name == "uniform":
+                    # seed a partially filled buffer via scalar updates
+                    for v in vals[:13]:
+                        a.update(float(v))
+                        b.update(float(v))
+                    vals = vals[13:]
+                chunks = (
+                    [vals]
+                    if split is None
+                    else np.array_split(vals, max(1, len(vals) // split))
+                )
+                for c in chunks:
+                    a.update_batch(c)
+                    _tdigest_update_batch_old_schedule(b, c)
+                assert a.serialize() == b.serialize(), (k, name, split)
+
+
 def test_tdigest_nan_inf_ignored_and_merge():
     td = TDigest(100)
     td.update(float("nan"))
