@@ -105,6 +105,7 @@ def connected_components(
     dst: str = "b",
     max_iterations: int = 60,
     driver_max_edges: int = 2_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Return (id, cluster_id) for every vertex appearing in `edges`.
 
@@ -132,16 +133,22 @@ def connected_components(
 
     if driver_max_edges:
         n_und = und.count()
+        if stats is not None:
+            stats["undirected_edges"] = n_und
         if n_und <= driver_max_edges:
             _log.info(
                 "connected_components: %d undirected edges <= %d — driver NumPy path",
                 n_und,
                 driver_max_edges,
             )
+            if stats is not None:
+                stats["path"] = "driver"
             return _driver_components(und)
         _log.info(
             "connected_components: %d undirected edges — distributed loop", n_und
         )
+    if stats is not None:
+        stats["path"] = "distributed"
 
     sym = und.union(und.select(F.col("d").alias("s"), F.col("s").alias("d")))
 
@@ -152,7 +159,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    rounds_run = 0
     for _ in range(max_iterations):
+        rounds_run += 1
         # pass 1: neighborhood minimum
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "d"), on="d")
@@ -183,4 +192,6 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} iterations"
         )
+    if stats is not None:
+        stats["rounds"] = rounds_run
     return labels.select("id", F.col("label").alias("cluster_id"))

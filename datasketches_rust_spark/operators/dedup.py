@@ -261,6 +261,21 @@ def near_dup_multimodal_clusters_from_path(
     use_pixel_simhash=True)`` row for row (tested in
     tests/test_entry_queries.py); only the read topology differs.
     """
+    all_ids, verified, cfg = multimodal_verified_edges_from_path(
+        spark, parquet_path, cfg
+    )
+    return assign_clusters(all_ids, verified, cfg)
+
+
+def multimodal_verified_edges_from_path(
+    spark, parquet_path: str, cfg: DedupConfig | None = None
+):
+    """Everything in the from_path pipeline up to (but not including)
+    connected components: returns ``(all_ids, verified_edges, cfg)``.
+    Split out so the CC stage can be driven/benched on the REAL edge
+    set independently (tools/cc_distributed_bench.py forces the
+    distributed loop on it; the production entry point immediately
+    feeds it to assign_clusters)."""
     from .lsh import (
         FAMILY_PHASH,
         FAMILY_PIXEL,
@@ -393,4 +408,4 @@ def near_dup_multimodal_clusters_from_path(
     # filters partition on img_ok/text_chained) — plain union, no dedup
     verified = img_or_chain_edges.unionByName(txt_edges)
     all_ids = sigs_all.select(F.col("image_id").alias("id"))
-    return assign_clusters(all_ids, verified, cfg)
+    return all_ids, verified, cfg
