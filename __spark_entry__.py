@@ -92,9 +92,13 @@ def _q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same exact-Jaccard clustering the `neardup_clusters_exact`
     oracle value-checks."""
     from datasketches_rust_spark.functions.selfcheck import minhash_kernel_gates
+    from datasketches_rust_spark.operators.connected_components import (
+        distributed_loop_selfcheck,
+    )
 
     clusters = _q_neardup_clusters_exact(spark, sf_dir)
     g = minhash_kernel_gates()
+    cc_ok = distributed_loop_selfcheck(spark)
     return clusters.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("cluster_id").alias("n_clusters"),
@@ -109,6 +113,12 @@ def _q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # law — the signature stage under every near-dup query here
         F.lit(g["minhash_kernel_ok"]).alias("minhash_kernel_ok"),
         F.lit(g["minhash_merge_ok"]).alias("minhash_merge_ok"),
+        # round-5 folded gate: the DISTRIBUTED pointer-jump CC loop
+        # (forced past the edge gate on a multi-round graph) matches
+        # the driver path and the closed-form components — the 10^12
+        # path is now driver-visible, not just pytest/tool-visible
+        # (operators/connected_components.py::distributed_loop_selfcheck)
+        F.lit(bool(cc_ok)).alias("distributed_cc_ok"),
     )
 
 
@@ -1462,7 +1472,8 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((COUNT(*) - COUNT(DISTINCT cluster_id))::DOUBLE
                        / COUNT(*)::DOUBLE, 6) AS dup_frac,
                    TRUE AS minhash_kernel_ok,
-                   TRUE AS minhash_merge_ok
+                   TRUE AS minhash_merge_ok,
+                   TRUE AS distributed_cc_ok
             FROM clusters
         """,
         # resume gates: the Spark side runs the resumable pipeline

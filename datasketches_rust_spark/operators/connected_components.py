@@ -195,3 +195,48 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds_run
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def distributed_loop_selfcheck(spark) -> bool:
+    """Deterministic boolean gate for the DISTRIBUTED pointer-jump
+    loop, designed to ride a green sweep row (the round-4/5 folding
+    pattern): sandbox-scale queries all take the driver path via the
+    edge gate, so without this the distributed loop is only
+    pytest/tool-visible. The graph is chosen so the loop must do real
+    multi-round work:
+
+    - a 17-vertex path (diameter 16): min-label + one pointer jump per
+      round needs several rounds — a broken jump or a premature
+      convergence check under-merges it;
+    - an 8-clique (dense buckets, the LSH hot-bucket shape);
+    - a mirrored duplicate pair ((x,y) AND (y,x)) — the canonical-
+      undirected dedup must collapse it;
+    - two disjoint 2-components with interleaved ids (label-collision
+      bait for the min propagation).
+
+    Passes iff the forced-distributed labeling (driver_max_edges=0)
+    equals the closed-form expected components and the loop actually
+    ran >= 3 rounds. The driver NumPy path needs no run of its own
+    here — every sandbox-scale CC sweep row already exercises it
+    against DuckDB cluster oracles; cross-path equality on PRODUCTION
+    edges is tools/cc_distributed_bench.py (BASELINE.md round 5).
+    Cost budget: 4 rounds x ~2 tiny jobs ≈ 3 s warm — kept lean
+    because this rides a benched sweep row (path of 9, not 17).
+    """
+    path_edges = [(100 + i, 101 + i) for i in range(8)]
+    clique_edges = [(200 + i, 200 + j) for i in range(8) for j in range(i + 1, 8)]
+    mirrored = [(300, 301), (301, 300)]
+    twos = [(401, 403), (402, 404)]
+    edges = spark.createDataFrame(
+        path_edges + clique_edges + mirrored + twos, "a long, b long"
+    )
+    expected = (
+        [(100 + i, 100) for i in range(9)]
+        + [(200 + i, 200) for i in range(8)]
+        + [(300, 300), (301, 300)]
+        + [(401, 401), (403, 401), (402, 402), (404, 402)]
+    )
+    dstats: dict = {}
+    dist = connected_components(edges, "a", "b", driver_max_edges=0, stats=dstats)
+    dist_rows = sorted((r["id"], r["cluster_id"]) for r in dist.collect())
+    return dist_rows == sorted(expected) and dstats.get("rounds", 0) >= 3

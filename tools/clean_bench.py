@@ -11,7 +11,10 @@ rather than the weather.
 Usage: python tools/clean_bench.py [--max-wait-s N] [--clean-s F]
 Writes bench stdout to /tmp/clean_bench_stdout.txt and exits with
 bench's return code. If no clean window appears within --max-wait-s
-(default 3 h), runs anyway — a weather-stamped artifact beats none.
+(default 3 h), runs anyway — a weather-stamped artifact beats none —
+unless --no-force is given (then exits 3 without running, so an
+unattended watcher can never overwrite BENCH_DETAIL.json with a
+degraded record).
 """
 
 from __future__ import annotations
@@ -65,6 +68,13 @@ def main() -> int:
     ap.add_argument("--kernel-clean-s", type=float, default=0.25)
     ap.add_argument("--poll-s", type=float, default=150.0)
     ap.add_argument("--consecutive", type=int, default=2)
+    ap.add_argument(
+        "--no-force",
+        action="store_true",
+        help="exit 3 at --max-wait-s expiry instead of running degraded "
+        "(a forced degraded run overwrites BENCH_DETAIL.json — unsafe "
+        "for unattended watchers)",
+    )
     args = ap.parse_args()
 
     t0 = time.monotonic()
@@ -82,6 +92,9 @@ def main() -> int:
             streak = 0
             time.sleep(args.poll_s)
     else:
+        if args.no_force:
+            print("[clean_bench] max wait exceeded; --no-force set — not running", flush=True)
+            return 3
         print("[clean_bench] max wait exceeded; running anyway", flush=True)
 
     with open("/tmp/clean_bench_stdout.txt", "w") as out:
