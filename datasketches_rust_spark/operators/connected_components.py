@@ -52,13 +52,15 @@ _log = logging.getLogger(__name__)
 
 
 def _driver_components(und: DataFrame) -> DataFrame:
-    """Min-label CC of a small undirected edge frame (canonical s<=d,
-    deduplicated), NumPy-vectorized on the driver. Same fixpoint as
-    the distributed loop; the min-propagation runs over hash-order
-    dense codes (``pd.factorize`` is O(n); ``np.unique``'s comparison
-    sort of the full edge list was >90% of this path's time on string
-    ids — 1.4 s vs 0.06 s at 400k edges), then one argsort of the
-    UNIQUE ids restores the min-id-per-component labeling exactly."""
+    """Min-label CC of a small undirected edge frame (canonical s<=d;
+    duplicates allowed — ``np.minimum.at`` is idempotent, so repeated
+    edges cost transfer bytes but never change the fixpoint),
+    NumPy-vectorized on the driver. Same fixpoint as the distributed
+    loop; the min-propagation runs over hash-order dense codes
+    (``pd.factorize`` is O(n); ``np.unique``'s comparison sort of the
+    full edge list was >90% of this path's time on string ids — 1.4 s
+    vs 0.06 s at 400k edges), then one argsort of the UNIQUE ids
+    restores the min-id-per-component labeling exactly."""
     import pandas as pd
 
     pdf = und.toPandas()
@@ -114,42 +116,48 @@ def connected_components(
     solve driver-side (module docstring "Plan choice"); pass 0 to force
     the distributed loop.
 
-    Dedup runs on the CANONICAL UNDIRECTED frame (least, greatest) —
-    half the rows of the old symmetric-then-distinct shape, so the
-    dedup shuffle, the gating count, and the driver collect all move
-    half the bytes; the symmetric frame the distributed loop needs is
-    a union of the already-distinct canonical rows (no second
-    distinct). Mirrored duplicate inputs (both (x,y) and (y,x))
-    canonicalize to the same row and dedup exactly as before.
+    The gate counts the CANONICAL frame (least, greatest) BEFORE any
+    dedup: a narrow no-shuffle checkpoint + count. The raw count is an
+    upper bound of the distinct count, so every edge set the old
+    distinct-first gate sent to the driver still goes to the driver
+    (callers that feed pre-deduplicated pairs — every dedup pipeline in
+    this repo, whose pair frames come out of a ``groupBy(a, b)`` — gate
+    identically), and the common gated path no longer pays a full
+    distinct shuffle just to decide; ``_driver_components`` absorbs
+    duplicates for free (round 5: this shuffle + its checkpoint were
+    ~1 s of fixed serial cost at BOTH levels of the two-cluster-size
+    bench, a pure efficiency-ratio tax). A mirrored-heavy RAW edge set
+    (raw ≫ distinct) can flip the gate to the distributed loop one size
+    early — a plan heuristic, not a correctness edge; the loop dedups
+    first and converges identically.
     """
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("s"),
-            F.greatest(F.col(src), F.col(dst)).alias("d"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    cand = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("s"),
+        F.greatest(F.col(src), F.col(dst)).alias("d"),
+    ).localCheckpoint(eager=True)
 
     if driver_max_edges:
-        n_und = und.count()
+        n_raw = cand.count()
         if stats is not None:
-            stats["undirected_edges"] = n_und
-        if n_und <= driver_max_edges:
+            stats["undirected_edges"] = n_raw
+        if n_raw <= driver_max_edges:
             _log.info(
-                "connected_components: %d undirected edges <= %d — driver NumPy path",
-                n_und,
+                "connected_components: %d canonical edges <= %d — driver NumPy path",
+                n_raw,
                 driver_max_edges,
             )
             if stats is not None:
                 stats["path"] = "driver"
-            return _driver_components(und)
+            return _driver_components(cand)
         _log.info(
-            "connected_components: %d undirected edges — distributed loop", n_und
+            "connected_components: %d canonical edges — distributed loop", n_raw
         )
     if stats is not None:
         stats["path"] = "distributed"
 
+    # the distributed loop keeps the dedup: every round's joins rescan
+    # the symmetric frame, so duplicate rows would tax EVERY round
+    und = cand.distinct().localCheckpoint(eager=True)
     sym = und.union(und.select(F.col("d").alias("s"), F.col("s").alias("d")))
 
     labels = (

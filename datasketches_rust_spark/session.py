@@ -72,7 +72,19 @@ def make_local_session(
     shuffle_partitions: int | None = None,
     app_name: str = "datasketches-rust-spark",
     driver_memory: str = "16g",
+    default_parallelism: int | None = None,
 ) -> SparkSession:
+    """``default_parallelism`` is AQE's coalescing target: post-shuffle
+    partitions are packed into ~``totalBytes / defaultParallelism``
+    bins, so one skewed bin per core leaves cores idle behind the
+    straggler. Passing ``cpus * 4`` gives skewed reduce stages 4 bins
+    per core to balance over — measured on the 300k-image pipeline at
+    8 cores: 48.0 s → 39.1 s, every reduce stage ≥ 7.0/8 utilization
+    (round-5 stage audit, BASELINE.md). It is a *workload-size* knob,
+    not a universal win: the same setting measured 22% SLOWER on a
+    10-query sf0.1 headline subset at 32 cores (small inputs, task
+    overhead dominates), so the default stays Spark's cores=bins and
+    only large-input callers (bench.py scaling runs) opt in."""
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -80,6 +92,8 @@ def make_local_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory)
     )
+    if default_parallelism:
+        builder = builder.config("spark.default.parallelism", str(default_parallelism))
     # Route shuffle/spill files to tmpfs when available: this host's
     # disk writeback degrades in phases (measured <8 MB/s for a
     # fsync'd 1 GB write while reads ran at 1.7 GB/s), which inflated
