@@ -535,13 +535,19 @@ def _emit(result: dict, detail: dict) -> None:
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1900:
         # progressive trim — the driver's stdout tail is 2000 chars and
-        # a longer line truncates from the FRONT, making it unparseable
+        # a longer line truncates from the FRONT, making it unparseable.
+        # round_weather goes LAST: it is the artifact-of-record's own
+        # evidence that the scaling gate was measured in a clean window
+        # (full-precision copies of everything trimmed here live in
+        # BENCH_DETAIL.json either way).
         result.get("scaling", {}).pop("per_round_signature_efficiency", None)
         result.get("scaling", {}).pop("per_round_pipeline_efficiency", None)
-        result.get("scaling", {}).pop("round_weather", None)
         line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1900:
         result["queries"] = {k: round(v, 1) for k, v in result["queries"].items()}
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1900:
+        result.get("scaling", {}).pop("round_weather", None)
         line = json.dumps(result, separators=(",", ":"))
     print(line)
 
