@@ -129,10 +129,13 @@ def _q_resume_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     `theta/sketch.rs:622-727`, SURVEY.md §3.3).
 
     Runs the resumable pipeline twice over a deterministic 200-doc
-    slice: (A) fresh to completion; (B) signatures stage completed,
-    then the manifest amputated to half its buckets — the killed-mid-
-    banding state — and the pipeline restarted. Four booleans ride the
-    oracle row:
+    slice: (A) fresh to completion; (B) the killed-mid-banding state,
+    constructed by copying (A)'s completed signatures stage byte-for-
+    byte into a new workdir and amputating its manifest to half its
+    buckets — exactly the on-disk state a run killed mid-manifest-
+    commit leaves (and cheaper than recomputing the stage just to
+    throw half of it away) — then the pipeline restarted. Four
+    booleans ride the oracle row:
 
     - resume_matches_fresh        — resumed (id, cluster_id) ≡ fresh;
     - resume_only_missing_buckets — the restart recomputed exactly the
@@ -147,10 +150,7 @@ def _q_resume_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from datasketches_rust_spark.config import DedupConfig
-    from datasketches_rust_spark.operators.dedup import (
-        resumable_near_dup_pipeline,
-        text_signatures,
-    )
+    from datasketches_rust_spark.operators.dedup import resumable_near_dup_pipeline
     from datasketches_rust_spark.sources.checkpoint import CheckpointManager
 
     cfg = DedupConfig()
@@ -158,22 +158,28 @@ def _q_resume_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_buckets = 8
     base = tempfile.mkdtemp(prefix="spark_graft_resume_gate_")
     try:
+        fresh_wd = os.path.join(base, "fresh")
         fresh = resumable_near_dup_pipeline(
-            spark, docs, "doc_id", "text", os.path.join(base, "fresh"), cfg, n_buckets
+            spark, docs, "doc_id", "text", fresh_wd, cfg, n_buckets
         )
         fresh_rows = sorted((r["id"], r["cluster_id"]) for r in fresh.collect())
 
-        # stage 1 of the "killed" run: signatures complete on disk...
+        # the "killed" run's on-disk state: the fresh run's completed
+        # signatures stage copied byte-for-byte (data + manifest +
+        # metrics — exactly what a run killed after the stage commit
+        # leaves behind; text_signatures is deterministic, so this is
+        # the same state recomputation would produce)...
         wd = os.path.join(base, "resumed")
         cp = CheckpointManager(wd, n_buckets)
-        sig_lineage = {"input": "source", "config": repr(cfg.minhash)}
-
-        def compute_signatures(slice_df: DataFrame) -> DataFrame:
-            sigs = text_signatures(slice_df, "doc_id", "text", cfg)
-            return sigs.withColumn("_bucket", cp.bucket_col("_id"))
-
-        cp.run_stage(spark, "signatures", docs, "doc_id", compute_signatures,
-                     lineage=sig_lineage)
+        shutil.copytree(
+            os.path.join(fresh_wd, "signatures"), os.path.join(wd, "signatures")
+        )
+        for sub in ("_manifest", "_metrics"):
+            os.makedirs(os.path.join(wd, sub), exist_ok=True)
+            shutil.copy2(
+                os.path.join(fresh_wd, sub, "signatures.json"),
+                os.path.join(wd, sub, "signatures.json"),
+            )
         # ...then the manifest loses half its buckets (kill mid-commit)
         man_path = cp._manifest_path("signatures")
         with open(man_path) as f:

@@ -136,10 +136,16 @@ def resumable_near_dup_pipeline(
         # bucket is a pure function of the id — recompute, don't join
         return sigs.withColumn("_bucket", cp.bucket_col("_id"))
 
+    # no localCheckpoint here: run_stage returns a scan of the stage's
+    # own parquet checkpoint, so lineage is already truncated at disk;
+    # re-materializing the full signature table into executor storage
+    # would double its memory footprint at 10^12 rows and costs an
+    # extra job per run at any scale. Downstream stages re-scan the
+    # checkpoint — the Spark-native way to reuse persisted state.
     sigs = cp.run_stage(
         spark, "signatures", df, id_col, compute_signatures,
         lineage={"input": "source", "config": repr(cfg.minhash)},
-    ).localCheckpoint(eager=True)
+    )
 
     def compute_edges(_slice: DataFrame) -> DataFrame:
         edges = verified_text_pairs(sigs, cfg)
