@@ -419,7 +419,6 @@ def _run_scaling(result: dict, detail: dict, t_start: float) -> None:
     round_cost = [360.0]  # prior for one paired round, clean host, 300k rows
 
     def _one_round(gate: bool) -> None:
-        t_round = time.monotonic()
         if gate:
             # probe-gate (bounded): don't start a measured round in a
             # stamped degraded window while budget allows waiting one
@@ -433,6 +432,12 @@ def _run_scaling(result: dict, detail: dict, t_start: float) -> None:
             f, c = _wait_probes_clean(wait_until)
         else:
             f, c = _host_fault_probe(), _host_cpu_probe()
+        # round_cost times the MEASURED round only, from after the gate:
+        # including the gate's own wait would let one long degraded-
+        # window wait inflate round_cost so much that every later
+        # round's gate deadline is already past — i.e. the gate would
+        # disable itself exactly when it is needed
+        t_round = time.monotonic()
         pair = {"weather": {"fault_s": f, "cpu_s": c}}
         for level, key in ((hi, "hi"), (lo, "lo")):
             # the hi level's timed stages are ~4x shorter, so a
@@ -524,10 +529,17 @@ def _emit(result: dict, detail: dict) -> None:
     # never let a partial invocation (SPARK_GRAFT_HEADLINE=0 smoke run,
     # scaling-only pass) overwrite a complete recorded distribution —
     # only a run that produced the full per-query distribution writes
+    # BENCH_DETAIL.json; a scaling-only pass persists its full-precision
+    # round pairs (incl. the weather stamps the stdout trim ladder may
+    # drop) to a sibling scratch file instead, so the evidence exists
+    # somewhere without it ever clobbering the record
     has_content = bool(detail.get("queries_min"))
     try:
         if has_content:
             with open(detail_path, "w") as f:
+                json.dump(detail, f, indent=1)
+        elif detail.get("scaling_round_pairs"):
+            with open("/tmp/bench_scaling_last.json", "w") as f:
                 json.dump(detail, f, indent=1)
     except OSError:
         pass  # read-only checkout: the stdout line is the record

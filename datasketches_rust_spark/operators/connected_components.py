@@ -139,7 +139,11 @@ def connected_components(
     if driver_max_edges:
         n_raw = cand.count()
         if stats is not None:
-            stats["undirected_edges"] = n_raw
+            # raw canonical (min,max) count, BEFORE the distinct the
+            # distributed loop applies — named to say so, since for
+            # duplicate- or mirror-heavy inputs it exceeds the true
+            # undirected edge count
+            stats["canonical_edges_raw"] = n_raw
         if n_raw <= driver_max_edges:
             _log.info(
                 "connected_components: %d canonical edges <= %d — driver NumPy path",
@@ -213,9 +217,9 @@ def distributed_loop_selfcheck(spark) -> bool:
     pytest/tool-visible. The graph is chosen so the loop must do real
     multi-round work:
 
-    - a 17-vertex path (diameter 16): min-label + one pointer jump per
-      round needs several rounds — a broken jump or a premature
-      convergence check under-merges it;
+    - a 9-vertex path (diameter 8): min-label + one pointer jump per
+      round needs several rounds (converges in 4) — a broken jump or a
+      premature convergence check under-merges it;
     - an 8-clique (dense buckets, the LSH hot-bucket shape);
     - a mirrored duplicate pair ((x,y) AND (y,x)) — the canonical-
       undirected dedup must collapse it;

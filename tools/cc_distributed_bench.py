@@ -77,7 +77,11 @@ def main() -> int:
     spark = apply_engine_conf(builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     app_id = spark.sparkContext.applicationId
-    app_base = f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}"
+    # uiWebUrl, not the requested UI_PORT: on a port collision Spark
+    # binds port+1..+16 (spark.port.maxRetries) and every REST call to
+    # the constant would 404 minutes into the run
+    ui = spark.sparkContext.uiWebUrl or f"http://localhost:{UI_PORT}"
+    app_base = f"{ui}/api/v1/applications/{app_id}"
 
     try:
         bench.warmup(spark)
@@ -97,14 +101,19 @@ def main() -> int:
         dist_sec = time.perf_counter() - t0
         rd1, wr1 = _shuffle_bytes(app_base)
 
-        # driver NumPy path on the same edges
+        # driver NumPy path on the same edges — FORCED past the gate
+        # (driver_max_edges=raw count) so a --rows large enough to
+        # exceed the default 2M-edge gate can't silently measure
+        # distributed-vs-distributed and report a meaningless ~1.0 ratio
         sstats: dict = {}
         t0 = time.perf_counter()
         drv = connected_components(
-            edges, "a", "b", cfg.max_cc_iterations, stats=sstats
+            edges, "a", "b", cfg.max_cc_iterations,
+            driver_max_edges=max(n_edges_raw, 1), stats=sstats,
         )
         drv_rows = drv.collect()
         drv_sec = time.perf_counter() - t0
+        assert sstats.get("path") == "driver", sstats
 
         assert sorted(map(tuple, dist_rows)) == sorted(map(tuple, drv_rows)), (
             "distributed and driver CC labelings differ"
@@ -120,7 +129,7 @@ def main() -> int:
         "rows": args.rows,
         "cpus": args.cpus,
         "edges_raw": n_edges_raw,
-        "edges_undirected": sstats.get("undirected_edges"),
+        "canonical_edges_raw": sstats.get("canonical_edges_raw"),
         "vertices": n_vertices,
         "clusters": n_clusters,
         "distributed": {
