@@ -73,11 +73,48 @@ def jaccard_from_signatures(sig_a: str, sig_b: str) -> Column:
     return matches / F.size(F.col(sig_a))
 
 
+def _resolve_direct_files(parquet_path: str):
+    """Resolve (filesystem, file list) for the direct-read path.
+
+    Plain local paths keep the zero-dependency glob fast path (workers
+    open plain paths; no filesystem object is shipped). Paths with a
+    URI scheme (``file://``, ``s3://``, ``hdfs://``, ``gs://``, ...)
+    resolve through ``pyarrow.fs.FileSystem.from_uri``; the resulting
+    filesystem handle is returned and pickled into the worker closure
+    (pyarrow filesystems pickle by construction), so driver listing
+    and worker opens go through the same storage backend — no shared
+    POSIX view required.
+    """
+    import glob as _glob
+    import os as _os
+
+    if "://" not in parquet_path:
+        files = sorted(
+            _glob.glob(_os.path.join(parquet_path, "*.parquet"))
+            or _glob.glob(_os.path.join(parquet_path, "part-*"))
+        )
+        return None, files
+
+    from pyarrow import fs as pafs
+
+    filesystem, base = pafs.FileSystem.from_uri(parquet_path)
+    infos = filesystem.get_file_info(pafs.FileSelector(base, recursive=False))
+    names = [
+        i.path
+        for i in infos
+        if i.is_file
+        and (i.base_name.endswith(".parquet") or i.base_name.startswith("part-"))
+        and not i.base_name.startswith(("_", "."))
+    ]
+    return filesystem, sorted(names)
+
+
 def signatures_direct(
     spark,
     parquet_path: str,
     minhash_cfg: MinHashConfig | None = None,
     simhash_cfg: SimHashConfig | None = None,
+    rows_per_batch: int = 2048,
 ) -> "DataFrame":
     """One-pass signature stage reading parquet file splits DIRECTLY in
     the Python workers (pyarrow), bypassing the JVM for the pixel
@@ -98,22 +135,25 @@ def signatures_direct(
     bands array<long>) — everything downstream (LSH, verification,
     CC) needs; the pixels never leave the worker.
 
-    Filesystem contract: file listing uses a driver-side local glob
-    and workers open paths with ``pyarrow`` directly, so driver and
-    executors must share a POSIX view of ``parquet_path`` (local FS,
-    NFS, or a FUSE mount). On HDFS/S3 swap the glob for a Hadoop
-    FileSystem listing and hand pyarrow an fsspec filesystem — the
-    per-worker read pattern itself is storage-agnostic.
-    """
-    import glob as _glob
-    import os as _os
+    Filesystem contract: a plain local path lists with a driver-side
+    glob and workers open plain paths (the sandbox fast path); a URI
+    path (``file://``, ``s3://``, ``hdfs://``, ``gs://``) resolves via
+    ``pyarrow.fs.FileSystem.from_uri`` and the filesystem handle rides
+    the worker closure, so the same code runs against an object store
+    with no shared POSIX view (`_resolve_direct_files`).
 
+    Worker memory contract: files are streamed with
+    ``ParquetFile.iter_batches`` (``rows_per_batch`` rows per kernel
+    batch, one row group resident at a time) instead of a whole-file
+    ``read_table`` — peak worker memory is bounded by the writer's row
+    group size, not the file size, so 1 GB-file × 32-concurrent-task
+    layouts cannot OOM the Python workers. Per-row outputs are
+    unchanged by the chunking (every kernel is per-row deterministic;
+    equivalence-tested against the JVM-read pipeline).
+    """
     mh = minhash_cfg or MinHashConfig()
     sh = simhash_cfg or SimHashConfig()
-    files = sorted(
-        _glob.glob(_os.path.join(parquet_path, "*.parquet"))
-        or _glob.glob(_os.path.join(parquet_path, "part-*"))
-    )
+    filesystem, files = _resolve_direct_files(parquet_path)
     if not files:
         raise ValueError(f"no parquet files under {parquet_path}")
     plan = spark.createDataFrame(
@@ -132,56 +172,59 @@ def signatures_direct(
         from ..functions.simhash import simhash_vectors
         from ..sources.png import decode_image
 
+        cols = ["image_id", "bytes", "fmt", "caption", "phash"]
         for pdf in batches:
             for path in pdf["path"]:
-                tbl = pq.read_table(
-                    path, columns=["image_id", "bytes", "fmt", "caption", "phash"]
-                )
-                if tbl.num_rows == 0:
-                    continue
-                ids = tbl["image_id"].to_pylist()
-                fmts = tbl["fmt"].to_pylist()
-                raws = tbl["bytes"].to_pylist()
-                phs = tbl["phash"].to_pylist()
-                captions = tbl["caption"].to_pylist()
-                # decode per image (zlib is inherently per-buffer);
-                # feature downscale + phash run BATCHED over same-size
-                # luma groups (bit-identical to the per-image path,
-                # ~1.4x on the phash step)
-                grays, oks = [], []
-                for data, fmt in zip(raws, fmts):
-                    try:
-                        grays.append(to_gray(decode_image(data, fmt)))
-                        oks.append(True)
-                    except Exception:
-                        grays.append(None)
-                        oks.append(False)
-                n_rows = len(grays)
-                ok_idx = [i for i, g in enumerate(grays) if g is not None]
-                feats = np.zeros((n_rows, 64), dtype=np.float64)
-                phc = np.zeros(n_rows, dtype=np.int64)
-                if ok_idx:
-                    ok_grays = [grays[i] for i in ok_idx]
-                    feats[ok_idx] = downscale_batch(ok_grays, 8)
-                    phc[ok_idx] = phash64_i64_batch_from_grays(ok_grays)
-                sim = (
-                    simhash_vectors(feats, sh).view(np.int64)
-                    if n_rows
-                    else np.zeros(0, dtype=np.int64)
-                )
-                sigs = minhash_signatures(captions, mh)
-                bands = band_hashes(sigs, mh)
-                yield pd.DataFrame(
-                    {
-                        "image_id": ids,
-                        "phash": pd.array(phs, dtype="int64"),
-                        "phash_computed": pd.array(phc, dtype="int64"),
-                        "pixel_simhash": pd.array(list(sim), dtype="int64"),
-                        "decode_ok": oks,
-                        "signature": list(sigs.view(np.int64)),
-                        "bands": list(bands.view(np.int64)),
-                    }
-                )
+                source = filesystem.open_input_file(path) if filesystem else path
+                reader = pq.ParquetFile(source)
+                for tbl in reader.iter_batches(
+                    batch_size=rows_per_batch, columns=cols
+                ):
+                    if tbl.num_rows == 0:
+                        continue
+                    ids = tbl["image_id"].to_pylist()
+                    fmts = tbl["fmt"].to_pylist()
+                    raws = tbl["bytes"].to_pylist()
+                    phs = tbl["phash"].to_pylist()
+                    captions = tbl["caption"].to_pylist()
+                    # decode per image (zlib is inherently per-buffer);
+                    # feature downscale + phash run BATCHED over
+                    # same-size luma groups (bit-identical to the
+                    # per-image path, ~1.4x on the phash step)
+                    grays, oks = [], []
+                    for data, fmt in zip(raws, fmts):
+                        try:
+                            grays.append(to_gray(decode_image(data, fmt)))
+                            oks.append(True)
+                        except Exception:
+                            grays.append(None)
+                            oks.append(False)
+                    n_rows = len(grays)
+                    ok_idx = [i for i, g in enumerate(grays) if g is not None]
+                    feats = np.zeros((n_rows, 64), dtype=np.float64)
+                    phc = np.zeros(n_rows, dtype=np.int64)
+                    if ok_idx:
+                        ok_grays = [grays[i] for i in ok_idx]
+                        feats[ok_idx] = downscale_batch(ok_grays, 8)
+                        phc[ok_idx] = phash64_i64_batch_from_grays(ok_grays)
+                    sim = (
+                        simhash_vectors(feats, sh).view(np.int64)
+                        if n_rows
+                        else np.zeros(0, dtype=np.int64)
+                    )
+                    sigs = minhash_signatures(captions, mh)
+                    bands = band_hashes(sigs, mh)
+                    yield pd.DataFrame(
+                        {
+                            "image_id": ids,
+                            "phash": pd.array(phs, dtype="int64"),
+                            "phash_computed": pd.array(phc, dtype="int64"),
+                            "pixel_simhash": pd.array(list(sim), dtype="int64"),
+                            "decode_ok": oks,
+                            "signature": list(sigs.view(np.int64)),
+                            "bands": list(bands.view(np.int64)),
+                        }
+                    )
 
     schema = (
         "image_id string, phash long, phash_computed long, pixel_simhash long, "

@@ -138,6 +138,33 @@ def test_from_path_pipeline_matches_dataframe_pipeline(spark, tmp_path):
     assert (a["cluster_id"] == b["cluster_id"]).all()
 
 
+def test_signatures_direct_uri_and_chunked_read(spark, tmp_path):
+    """The direct-read path yields identical rows through (a) a
+    file:// URI resolved via pyarrow.fs (the object-store code path —
+    no POSIX-glob listing) and (b) a forced tiny rows_per_batch (the
+    bounded-memory streamed read), vs the plain-path whole-file
+    default."""
+    from datasketches_rust_spark.operators.signatures import signatures_direct
+    from datasketches_rust_spark.sources.imagegen import generate_image_caption_df
+
+    path = str(tmp_path / "imgs_uri")
+    generate_image_caption_df(spark, 60, seed=7, partitions=3).write.parquet(path)
+
+    def rows(df):
+        return sorted(
+            (r["image_id"], r["phash_computed"], r["pixel_simhash"],
+             tuple(r["signature"]), tuple(r["bands"]), r["decode_ok"])
+            for r in df.collect()
+        )
+
+    base = rows(signatures_direct(spark, path))
+    via_uri = rows(signatures_direct(spark, "file://" + path))
+    chunked = rows(signatures_direct(spark, path, rows_per_batch=7))
+    assert len(base) == 60
+    assert via_uri == base
+    assert chunked == base
+
+
 def test_sql_registry_theta(spark):
     """Pure-SQL sketch usage: build → estimate == COUNT DISTINCT in the
     exact regime; union re-aggregation of pre-sketched rollups."""
