@@ -109,6 +109,41 @@ def _resolve_direct_files(parquet_path: str):
     return filesystem, sorted(names)
 
 
+def _row_group_splits(
+    files: list[str], filesystem, default_parallelism: int
+) -> list[tuple[str, int, int]]:
+    """Plan splits for the direct read: ``(path, rg_lo, rg_hi)``.
+
+    ``rg_lo == -1`` means "whole file, no footer read" — the default
+    when there are already enough files to occupy the cluster
+    (file count ≥ 2× default parallelism), so the common many-files
+    layout pays zero extra driver I/O. Below that, a consolidated
+    few-huge-files layout would strand most cores on per-file tasks,
+    so each footer is read once driver-side (cheap exactly when there
+    are few files) and files split into contiguous row-group ranges
+    targeting ~2 tasks per core in total.
+    """
+    import pyarrow.parquet as pq
+
+    target = max(2 * default_parallelism, 1)
+    if len(files) >= target:
+        return [(f, -1, -1) for f in files]
+    per_file = -(-target // len(files))  # ceil: chunks wanted per file
+    splits: list[tuple[str, int, int]] = []
+    for f in files:
+        source = filesystem.open_input_file(f) if filesystem else f
+        n = pq.ParquetFile(source).metadata.num_row_groups
+        k = min(max(n, 1), per_file)
+        # contiguous ranges, sizes differing by at most one row group
+        bounds = [round(i * n / k) for i in range(k + 1)]
+        splits.extend(
+            (f, lo, hi) for lo, hi in zip(bounds, bounds[1:]) if hi > lo
+        )
+        if n == 0:
+            splits.append((f, 0, 0))  # keep empty files harmless
+    return splits
+
+
 def signatures_direct(
     spark,
     parquet_path: str,
@@ -150,15 +185,25 @@ def signatures_direct(
     layouts cannot OOM the Python workers. Per-row outputs are
     unchanged by the chunking (every kernel is per-row deterministic;
     equivalence-tested against the JVM-read pipeline).
+
+    Split granularity: one task per file by default; when the file
+    count is below 2× default parallelism (a consolidated few-huge-
+    files layout, where per-file tasks would idle most of the
+    cluster), each file's footer is read once driver-side and the plan
+    splits files into contiguous ROW-GROUP ranges instead — the footer
+    reads are only paid exactly when there are few files to read.
     """
     mh = minhash_cfg or MinHashConfig()
     sh = simhash_cfg or SimHashConfig()
     filesystem, files = _resolve_direct_files(parquet_path)
     if not files:
         raise ValueError(f"no parquet files under {parquet_path}")
+    splits = _row_group_splits(
+        files, filesystem, spark.sparkContext.defaultParallelism
+    )
     plan = spark.createDataFrame(
-        spark.sparkContext.parallelize([(f,) for f in files], len(files)),
-        "path string",
+        spark.sparkContext.parallelize(splits, len(splits)),
+        "path string, rg_lo int, rg_hi int",
     )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -174,11 +219,18 @@ def signatures_direct(
 
         cols = ["image_id", "bytes", "fmt", "caption", "phash"]
         for pdf in batches:
-            for path in pdf["path"]:
+            for path, rg_lo, rg_hi in zip(pdf["path"], pdf["rg_lo"], pdf["rg_hi"]):
                 source = filesystem.open_input_file(path) if filesystem else path
                 reader = pq.ParquetFile(source)
+                row_groups = (
+                    list(range(rg_lo, rg_hi))
+                    if rg_lo >= 0
+                    else list(range(reader.metadata.num_row_groups))
+                )
+                if not row_groups:
+                    continue
                 for tbl in reader.iter_batches(
-                    batch_size=rows_per_batch, columns=cols
+                    batch_size=rows_per_batch, columns=cols, row_groups=row_groups
                 ):
                     if tbl.num_rows == 0:
                         continue

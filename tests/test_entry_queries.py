@@ -2,6 +2,8 @@
 parity at sf0.001) and the image+caption queries over the distributed
 deterministic generator (sources/imagegen.py)."""
 
+import os
+
 import duckdb
 import pytest
 
@@ -163,6 +165,60 @@ def test_signatures_direct_uri_and_chunked_read(spark, tmp_path):
     assert len(base) == 60
     assert via_uri == base
     assert chunked == base
+
+    # few-huge-files layout: ONE file with many row groups must split
+    # into row-group-range tasks (not serialize onto one core) and
+    # reproduce the same rows
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = spark.read.parquet(path).toPandas()
+    one = str(tmp_path / "imgs_onefile")
+    os.makedirs(one)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(one, "part-0.parquet"),
+        row_group_size=6,
+    )
+    single = signatures_direct(spark, one)
+    assert single.rdd.getNumPartitions() > 1
+    assert rows(single) == base
+
+
+def test_row_group_splits_planner():
+    """Split planner unit cases: many files stay whole-file with no
+    footer reads (sentinel -1), few files split into contiguous
+    disjoint row-group ranges covering every group exactly once."""
+    from unittest import mock
+
+    from datasketches_rust_spark.operators.signatures import _row_group_splits
+
+    many = [f"/x/part-{i}" for i in range(64)]
+    assert _row_group_splits(many, None, 8) == [(f, -1, -1) for f in many]
+
+    class _Meta:
+        def __init__(self, n):
+            self.num_row_groups = n
+
+    class _PF:
+        def __init__(self, src):
+            self.metadata = _Meta({"a": 5, "b": 12, "c": 1, "d": 0}[src[-1]])
+
+    with mock.patch("pyarrow.parquet.ParquetFile", _PF):
+        splits = _row_group_splits(["fa", "fb", "fc", "fd"], None, 8)
+    by_file = {}
+    for f, lo, hi in splits:
+        by_file.setdefault(f, []).append((lo, hi))
+    # every row group covered exactly once, in order, no overlap
+    for f, n in (("fa", 5), ("fb", 12), ("fc", 1)):
+        ranges = by_file[f]
+        assert ranges[0][0] == 0 and ranges[-1][1] == n
+        assert all(a[1] == b[0] for a, b in zip(ranges, ranges[1:]))
+        assert all(hi > lo for lo, hi in ranges)
+    # the 12-group file got more chunks than the 1-group file
+    assert len(by_file["fb"]) > len(by_file["fc"]) == 1
+    # empty file present but harmless
+    assert by_file["fd"] == [(0, 0)]
 
 
 def test_sql_registry_theta(spark):
