@@ -136,11 +136,19 @@ class IncrementalNearDup:
         new_sigs = text_signatures(
             new_rows, self.id_col, self.text_col, self.cfg
         ).localCheckpoint(eager=True)
-        # full state = prior state + this batch, composed in memory so
-        # the edge append can happen BEFORE the signature append
-        sigs = (
-            prev.unionByName(new_sigs) if prev is not None else new_sigs
-        ).localCheckpoint(eager=True)
+        # full state = prior parquet scan + this batch's checkpointed
+        # rows. No localCheckpoint of the union: pinning the WHOLE
+        # signature state into executor storage every micro-batch is
+        # O(total rows) memory — the exact blow-up the batch pipeline
+        # removed (operators/dedup.py, resumable_near_dup_pipeline) —
+        # and it defeats column pruning on the reuses below. The
+        # post-append uses of `sigs` still see exactly the pre-append
+        # state because `prev`'s parquet file listing froze when
+        # _existing_signatures read it (Spark's InMemoryFileIndex
+        # lists once at relation creation; appended files are
+        # invisible without a refresh — the property the
+        # stream-equals-batch test exercises across micro-batches).
+        sigs = prev.unionByName(new_sigs) if prev is not None else new_sigs
         # delta-banding: only buckets that gained a member re-pair
         touched = (
             explode_bands(new_sigs, "_id").select("band_id", "band_key").distinct()
