@@ -701,6 +701,14 @@ def _image_table(spark: SparkSession, n_rows: int = 400) -> DataFrame:
     )
 
 
+def _image_table_path(spark: SparkSession, n_rows: int = 400) -> str:
+    """Parquet directory of the cached image fixture — the input shape
+    the direct-read path consumes (it lists/opens files itself)."""
+    _image_table(spark, n_rows)  # materialize the cache
+    app_id = spark.sparkContext.applicationId
+    return f"/tmp/spark_graft_imgcache/{app_id}_img_{n_rows}"
+
+
 def _q_multimodal_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship over the image+caption table: caption-MinHash
     edges ∪ phash-Hamming edges → one CC pass → (image_id, cluster_id).
@@ -711,6 +719,26 @@ def _q_multimodal_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFram
 
     tbl = _image_table(spark)
     return near_dup_multimodal_clusters(tbl).select(
+        F.col("id").alias("image_id"), F.col("cluster_id")
+    )
+
+
+def _q_multimodal_clusters_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production READ TOPOLOGY made driver-visible: the same fixed
+    400-image fixture, but consumed via the direct-read scale path —
+    `signatures_direct` streams the parquet row groups inside the
+    Python workers (pyarrow; pixels never transit the JVM, object-store
+    URIs and row-group splits supported), then the identical fused-LSH
+    / verify / CC plan. Clusters must equal the JVM-read flagship's
+    row for row, so this shares `_MULTIMODAL_CLUSTERS_SQL` — a value
+    regression in the listing, split planner, streamed read, or
+    worker-side kernels hash-mismatches this row."""
+    from datasketches_rust_spark.operators.dedup import (
+        near_dup_multimodal_clusters_from_path,
+    )
+
+    path = _image_table_path(spark)
+    return near_dup_multimodal_clusters_from_path(spark, path).select(
         F.col("id").alias("image_id"), F.col("cluster_id")
     )
 
@@ -1169,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_custkey_members": _q_bloom_custkey_members,
         "hll_distinct_by_nation": _q_hll_distinct_by_nation,
         "multimodal_neardup_clusters": _q_multimodal_neardup_clusters,
+        "multimodal_clusters_direct": _q_multimodal_clusters_direct,
         "multimodal_clusters_exact": _q_multimodal_clusters_exact,
         "image_features": _q_image_features,
         "image_roundtrip_psnr": _q_image_roundtrip_psnr,
@@ -1266,6 +1295,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "neardup_text_clusters": _NEARDUP_CLUSTERS_SQL,
         "multimodal_neardup_clusters": _MULTIMODAL_CLUSTERS_SQL,
+        # the direct-read twin must produce the SAME clusters (it is the
+        # same pipeline behind a different read topology)
+        "multimodal_clusters_direct": _MULTIMODAL_CLUSTERS_SQL,
         # exact-regime sketch queries (theta exact mode == COUNT DISTINCT,
         # `theta/sketch.rs:164-171`; MG exact below 0.75*M distinct,
         # `frequencies/mod.rs:43-63`)
