@@ -1,0 +1,166 @@
+"""Measure north-rule scaling THROUGH the literal ship vehicle.
+
+The north rule's closing clause reads: "run via spark-submit
+--py-files on a multi-executor cluster at two cluster sizes (N and 4N
+executors) with throughput scaling efficiency >=0.8 between them".
+bench.py evidences the scaling half with in-process sessions;
+tests/test_job_entrypoint.py evidences the spark-submit half on a
+small input. This tool joins the two ends of the sentence: the engine
+package is zipped, `spark-submit --master local[N] --py-files <zip>
+jobs/run_dedup.py` runs the full pipeline on the SAME deterministic
+image+caption input at both parallelism levels (the sandbox stand-in
+for two cluster sizes, as BASELINE.md documents), and efficiency is
+computed from the timings the job itself prints.
+
+Methodology (matching bench.py's scaling section, see its comments):
+
+- timings come from the job's own "in X.Xs" line, i.e. measured AFTER
+  the session is up — a per-invocation JVM/session startup (~10 s,
+  level-independent) would otherwise bias the T_lo/T_hi ratio DOWN;
+- levels interleave (hi, lo per round) so this host's multi-minute
+  throttling phases hit both levels, not one (the ratio is the point);
+- min per level across rounds;
+- host weather (page-fault + ALU probes, bench.py's definitions) is
+  stamped per run, so a degraded-window record reads as such;
+- shuffle partitions scale with the level (8x cores) exactly as the
+  in-process scaling runs set them.
+
+Usage:  python tools/spark_submit_scaling.py [--rows 300000]
+            [--levels 2,8] [--rounds 2]
+Emits one JSON line; exits 1 if spark-submit is missing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402  (probes + input generator, single source of truth)
+
+
+def _find_spark_submit() -> str | None:
+    found = shutil.which("spark-submit")
+    if found:
+        return found
+    import pyspark
+
+    cand = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    return cand if os.path.exists(cand) else None
+
+
+def _build_zip(path: str) -> None:
+    pkg_root = os.path.join(REPO, "datasketches_rust_spark")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        for dirpath, _dirs, files in os.walk(pkg_root):
+            for fn in files:
+                if fn.endswith(".pyc") or "__pycache__" in dirpath:
+                    continue
+                full = os.path.join(dirpath, fn)
+                zf.write(full, os.path.relpath(full, REPO))
+
+
+_TIME_RE = re.compile(r"wrote (\d+) cluster assignments to .* in ([0-9.]+)s")
+
+
+def _submit_run(
+    submit: str, zip_path: str, cpus: int, input_path: str, out_dir: str
+) -> tuple[float, int]:
+    """One spark-submit invocation; returns (in-job seconds, rows)."""
+    proc = subprocess.run(
+        [
+            submit,
+            "--master", f"local[{cpus}]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", f"spark.sql.shuffle.partitions={8 * cpus}",
+            "--conf", "spark.driver.memory=16g",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "run_dedup.py"),
+            "--input", input_path,
+            "--output", out_dir,
+            "--read-path", "direct",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        check=False,
+    )
+    m = _TIME_RE.search(proc.stdout)
+    if proc.returncode != 0 or m is None:
+        sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:] + "\n")
+        raise RuntimeError(f"spark-submit at local[{cpus}] failed")
+    return float(m.group(2)), int(m.group(1))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=300000)
+    ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--rounds", type=int, default=2)
+    args = ap.parse_args()
+
+    submit = _find_spark_submit()
+    if submit is None:
+        sys.stderr.write("no spark-submit on PATH or in the pyspark install\n")
+        sys.exit(1)
+
+    lo, hi = (int(x) for x in args.levels.split(","))
+    input_path = bench._gen_image_input(args.rows)
+
+    base = tempfile.mkdtemp(prefix="spark_graft_submit_scale_")
+    zip_path = os.path.join(base, "dsrs.zip")
+    _build_zip(zip_path)
+
+    t_lo, t_hi = float("inf"), float("inf")
+    rows_seen: set[int] = set()
+    per_round = []
+    try:
+        for rnd in range(args.rounds):
+            pair = {}
+            # hi first inside each round, as bench.py's scaling section
+            for level in (hi, lo):
+                out_dir = os.path.join(base, f"out_{rnd}_{level}")
+                w0 = (bench._host_fault_probe(), bench._host_cpu_probe())
+                sec, nrows = _submit_run(submit, zip_path, level, input_path, out_dir)
+                rows_seen.add(nrows)
+                pair[str(level)] = {
+                    "sec": round(sec, 2),
+                    "weather_before": [round(w0[0], 3), round(w0[1], 3)],
+                }
+                shutil.rmtree(out_dir, ignore_errors=True)
+            t_hi = min(t_hi, pair[str(hi)]["sec"])
+            t_lo = min(t_lo, pair[str(lo)]["sec"])
+            per_round.append(pair)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    # identical outputs row-count-wise at every level/round — the two
+    # "cluster sizes" computed the same answer
+    efficiency = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "spark_submit_pipeline_scaling",
+                "rows": args.rows,
+                "levels": [lo, hi],
+                "pipeline_sec": {str(lo): t_lo, str(hi): t_hi},
+                "scaling_efficiency": round(efficiency, 3),
+                "output_rows_consistent": len(rows_seen) == 1,
+                "per_round": per_round,
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
