@@ -17,8 +17,14 @@ Methodology (matching bench.py's scaling section, see its comments):
 - timings come from the job's own "in X.Xs" line, i.e. measured AFTER
   the session is up — a per-invocation JVM/session startup (~10 s,
   level-independent) would otherwise bias the T_lo/T_hi ratio DOWN;
-- levels interleave (hi, lo per round) so this host's multi-minute
-  throttling phases hit both levels, not one (the ratio is the point);
+- levels interleave, and the within-round ORDER ALTERNATES per round
+  ((hi, lo) then (lo, hi)): the first recorded run of this tool showed
+  the host's throttling phase oscillating in sync with a fixed order —
+  both hi runs degraded, both lo runs clean, ratio skewed 1.7x — and
+  alternation breaks any phase-period alignment;
+- each timed run additionally waits (bounded, default 240 s) for the
+  page-fault probe to read < 0.3 s, the same self-gating bench.py's
+  scaling section applies;
 - min per level across rounds;
 - host weather (page-fault + ALU probes, bench.py's definitions) is
   stamped per run, so a degraded-window record reads as such;
@@ -40,6 +46,7 @@ import shutil
 import subprocess
 import sys
 import tempfile
+import time
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -106,6 +113,9 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=300000)
     ap.add_argument("--levels", default="2,8")
     ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--gate-wait-s", type=float, default=240.0,
+                    help="max seconds to wait for a clean fault probe "
+                         "before each timed run (0 disables gating)")
     args = ap.parse_args()
 
     submit = _find_spark_submit()
@@ -126,10 +136,14 @@ def main() -> None:
     try:
         for rnd in range(args.rounds):
             pair = {}
-            # hi first inside each round, as bench.py's scaling section
-            for level in (hi, lo):
+            order = (hi, lo) if rnd % 2 == 0 else (lo, hi)
+            for level in order:
                 out_dir = os.path.join(base, f"out_{rnd}_{level}")
                 w0 = (bench._host_fault_probe(), bench._host_cpu_probe())
+                deadline = time.monotonic() + args.gate_wait_s
+                while w0[0] >= 0.3 and time.monotonic() < deadline:
+                    time.sleep(15)
+                    w0 = (bench._host_fault_probe(), bench._host_cpu_probe())
                 sec, nrows = _submit_run(submit, zip_path, level, input_path, out_dir)
                 rows_seen.add(nrows)
                 pair[str(level)] = {
