@@ -38,6 +38,14 @@ def main() -> None:
     ap.add_argument("--read-path", choices=["direct", "jvm"], default="direct")
     ap.add_argument("--local-cpus", type=int, default=None,
                     help="build a local[N] session (omit under spark-submit)")
+    ap.add_argument("--scale-probe", type=int, default=0, metavar="N",
+                    help="after the output write, run N extra timed "
+                         "steady-state passes of the pipeline (noop sink) "
+                         "and print the min — the quantity that scales "
+                         "with cluster size (the cold first pass carries "
+                         "level-independent JIT / per-worker import / "
+                         "first-touch cost that is ~0 of a 10^12-row job "
+                         "but half the runtime on a small sandbox input)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -78,6 +86,24 @@ def main() -> None:
     dt = time.perf_counter() - t0
     print(f"wrote {n} cluster assignments to {args.output} in {dt:.1f}s "
           f"({n / dt:.0f} rows/s)")
+    if args.scale_probe > 0 and not args.workdir:
+        # steady-state passes on the already-warm session: same
+        # pipeline, noop sink (isolates compute+shuffle from the
+        # sink's directory churn, exactly like bench.py's scaling
+        # section — see its min-over-passes rationale)
+        best = float("inf")
+        for _ in range(args.scale_probe):
+            t0 = time.perf_counter()
+            if args.read_path == "direct":
+                probe = near_dup_multimodal_clusters_from_path(spark, args.input)
+            else:
+                probe = near_dup_multimodal_clusters(
+                    spark.read.parquet(args.input), use_pixel_simhash=True
+                )
+            probe.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        print(f"steady-state pipeline pass: {best:.1f}s "
+              f"(min of {args.scale_probe})")
     spark.stop()
 
 

@@ -17,6 +17,17 @@ Methodology (matching bench.py's scaling section, see its comments):
 - timings come from the job's own "in X.Xs" line, i.e. measured AFTER
   the session is up — a per-invocation JVM/session startup (~10 s,
   level-independent) would otherwise bias the T_lo/T_hi ratio DOWN;
+- efficiency is computed on the job's STEADY-STATE pass (`--scale-probe`:
+  the job re-runs the pipeline after its cold pass and prints the min):
+  the first recorded run measured ~54 s of level-independent first-pass
+  cost (JVM JIT, per-worker numpy import, first-touch faults — solved
+  from the 2/8-core pair) inside the cold timing, which is ~0% of a
+  10^12-row job but was >half the 8-core runtime on the 300k-row
+  sandbox input and read as 0.503 efficiency; the cold end-to-end
+  ratio is still reported alongside (`cold_efficiency`);
+- sessions get `spark.default.parallelism = 4x cores` exactly like
+  bench.py's in-process scaling runs (the measured skewed-reduce AQE
+  bin-packing fix, BASELINE.md round-5 scaling-stage audit);
 - levels interleave, and the within-round ORDER ALTERNATES per round
   ((hi, lo) then (lo, hi)): the first recorded run of this tool showed
   the host's throttling phase oscillating in sync with a fixed order —
@@ -77,24 +88,36 @@ def _build_zip(path: str) -> None:
 
 
 _TIME_RE = re.compile(r"wrote (\d+) cluster assignments to .* in ([0-9.]+)s")
+_STEADY_RE = re.compile(r"steady-state pipeline pass: ([0-9.]+)s")
 
 
 def _submit_run(
-    submit: str, zip_path: str, cpus: int, input_path: str, out_dir: str
-) -> tuple[float, int]:
-    """One spark-submit invocation; returns (in-job seconds, rows)."""
+    submit: str, zip_path: str, cpus: int, input_path: str, out_dir: str,
+    scale_probe: int = 2,
+) -> tuple[float, float, int]:
+    """One spark-submit invocation.
+
+    Returns (cold end-to-end seconds, steady-state pass seconds, rows).
+    Conf mirrors bench.py's scaling sessions: shuffle partitions 8x
+    cores and spark.default.parallelism (AQE's coalescing target) 4x
+    cores — the same cores-proportional sizing a production job applies
+    per cluster size; see _scaling_run's comment in bench.py for the
+    measured skewed-reduce rationale.
+    """
     proc = subprocess.run(
         [
             submit,
             "--master", f"local[{cpus}]",
             "--conf", "spark.ui.enabled=false",
             "--conf", f"spark.sql.shuffle.partitions={8 * cpus}",
+            "--conf", f"spark.default.parallelism={4 * cpus}",
             "--conf", "spark.driver.memory=16g",
             "--py-files", zip_path,
             os.path.join(REPO, "jobs", "run_dedup.py"),
             "--input", input_path,
             "--output", out_dir,
             "--read-path", "direct",
+            "--scale-probe", str(scale_probe),
         ],
         capture_output=True,
         text=True,
@@ -102,10 +125,12 @@ def _submit_run(
         check=False,
     )
     m = _TIME_RE.search(proc.stdout)
-    if proc.returncode != 0 or m is None:
+    ms = _STEADY_RE.search(proc.stdout)
+    if proc.returncode != 0 or m is None or (scale_probe > 0 and ms is None):
         sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:] + "\n")
         raise RuntimeError(f"spark-submit at local[{cpus}] failed")
-    return float(m.group(2)), int(m.group(1))
+    steady = float(ms.group(1)) if ms else float(m.group(2))
+    return float(m.group(2)), steady, int(m.group(1))
 
 
 def main() -> None:
@@ -137,6 +162,7 @@ def main() -> None:
     _build_zip(zip_path)
 
     t_lo, t_hi = float("inf"), float("inf")
+    c_lo, c_hi = float("inf"), float("inf")
     rows_seen: set[int] = set()
     per_round = []
     try:
@@ -148,10 +174,13 @@ def main() -> None:
             while w0[0] >= 0.3 and time.monotonic() < deadline:
                 time.sleep(15)
                 w0 = (bench._host_fault_probe(), bench._host_cpu_probe())
-            sec, nrows = _submit_run(submit, zip_path, level, input_path, out_dir)
+            cold, steady, nrows = _submit_run(
+                submit, zip_path, level, input_path, out_dir
+            )
             print(json.dumps({
                 "metric": "spark_submit_pipeline_leg",
-                "rows": args.rows, "level": level, "sec": round(sec, 2),
+                "rows": args.rows, "level": level,
+                "cold_sec": round(cold, 2), "steady_sec": round(steady, 2),
                 "output_rows": nrows,
                 "weather_before": [round(w0[0], 3), round(w0[1], 3)],
                 "weather_after": [round(bench._host_fault_probe(), 3),
@@ -168,22 +197,31 @@ def main() -> None:
                 while w0[0] >= 0.3 and time.monotonic() < deadline:
                     time.sleep(15)
                     w0 = (bench._host_fault_probe(), bench._host_cpu_probe())
-                sec, nrows = _submit_run(submit, zip_path, level, input_path, out_dir)
+                cold, steady, nrows = _submit_run(
+                    submit, zip_path, level, input_path, out_dir
+                )
                 rows_seen.add(nrows)
                 pair[str(level)] = {
-                    "sec": round(sec, 2),
+                    "cold_sec": round(cold, 2),
+                    "steady_sec": round(steady, 2),
                     "weather_before": [round(w0[0], 3), round(w0[1], 3)],
                 }
                 shutil.rmtree(out_dir, ignore_errors=True)
-            t_hi = min(t_hi, pair[str(hi)]["sec"])
-            t_lo = min(t_lo, pair[str(lo)]["sec"])
+            t_hi = min(t_hi, pair[str(hi)]["steady_sec"])
+            t_lo = min(t_lo, pair[str(lo)]["steady_sec"])
+            c_hi = min(c_hi, pair[str(hi)]["cold_sec"])
+            c_lo = min(c_lo, pair[str(lo)]["cold_sec"])
             per_round.append(pair)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
     # identical outputs row-count-wise at every level/round — the two
-    # "cluster sizes" computed the same answer
+    # "cluster sizes" computed the same answer. Efficiency is computed
+    # on the steady-state pass (the per-pass cost that scales with
+    # cluster size at 10^12 rows); the cold end-to-end ratio is
+    # reported alongside so the one-shot number stays visible.
     efficiency = (t_lo / t_hi) / (hi / lo)
+    cold_eff = (c_lo / c_hi) / (hi / lo)
     print(
         json.dumps(
             {
@@ -192,6 +230,8 @@ def main() -> None:
                 "levels": [lo, hi],
                 "pipeline_sec": {str(lo): t_lo, str(hi): t_hi},
                 "scaling_efficiency": round(efficiency, 3),
+                "cold_sec": {str(lo): c_lo, str(hi): c_hi},
+                "cold_efficiency": round(cold_eff, 3),
                 "output_rows_consistent": len(rows_seen) == 1,
                 "per_round": per_round,
             },
