@@ -104,14 +104,26 @@ def _submit_run(
     per cluster size; see _scaling_run's comment in bench.py for the
     measured skewed-reduce rationale.
     """
-    proc = subprocess.run(
-        [
+    cmd = [
             submit,
             "--master", f"local[{cpus}]",
             "--conf", "spark.ui.enabled=false",
             "--conf", f"spark.sql.shuffle.partitions={8 * cpus}",
             "--conf", f"spark.default.parallelism={4 * cpus}",
             "--conf", "spark.driver.memory=16g",
+    ]
+    # same sandbox-only tmpfs shuffle routing as make_local_session:
+    # this host's disk writeback degrades in phases (<8 MB/s measured,
+    # BASELINE.md "host weather") and disk-bound shuffle time is
+    # level-independent — it read as ~15 s of fixed cost in the first
+    # steady-state record. On a real cluster local dirs are NVMe-backed
+    # and the cluster manager sets them (the WARN Spark prints here).
+    if os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        cmd += ["--conf", f"spark.local.dir={shm}"]
+    proc = subprocess.run(
+        cmd + [
             "--py-files", zip_path,
             os.path.join(REPO, "jobs", "run_dedup.py"),
             "--input", input_path,
