@@ -38,6 +38,7 @@ def test_run_dedup_job_subprocess(spark, image_input, tmp_path):
             "--input", image_input,
             "--output", out_dir,
             "--local-cpus", "4",
+            "--scale-probe", "1",
         ],
         capture_output=True,
         text=True,
@@ -46,6 +47,9 @@ def test_run_dedup_job_subprocess(spark, image_input, tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "cluster assignments" in proc.stdout
+    # the scaling tool parses this line (steady-state pass on the warm
+    # session); a format drift would silently break the N->4N record
+    assert "steady-state pipeline pass:" in proc.stdout
 
     got = {
         (r.image_id, r.cluster_id)
