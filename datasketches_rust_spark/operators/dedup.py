@@ -89,7 +89,9 @@ def verified_text_pairs(
 
 def assign_clusters(all_ids: DataFrame, edges: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(id, cluster_id) for every input id; singletons label themselves."""
-    comp = connected_components(edges, "a", "b", cfg.max_cc_iterations)
+    comp = connected_components(
+        edges, "a", "b", cfg.max_cc_iterations, cfg.cc_driver_max_edges
+    )
     return (
         all_ids.join(comp, on="id", how="left")
         .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
@@ -353,7 +355,7 @@ def multimodal_verified_edges_from_path(
     # tests/test_entry_queries.py).
     narrow = sigs_all.select("image_id", "phash", "pixel_simhash", "decode_ok")
     n_rows = sigs_all.count()
-    if n_rows <= 2_000_000:  # ≈50 MB narrow-side hash table
+    if n_rows <= cfg.broadcast_verify_max_rows:  # ≈50 MB narrow hash table at 2M
         narrow = F.broadcast(narrow)
     na = narrow.select(
         F.col("image_id").alias("a"),

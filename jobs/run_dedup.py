@@ -38,6 +38,15 @@ def main() -> None:
     ap.add_argument("--read-path", choices=["direct", "jvm"], default="direct")
     ap.add_argument("--local-cpus", type=int, default=None,
                     help="build a local[N] session (omit under spark-submit)")
+    ap.add_argument("--at-scale-plan", action="store_true",
+                    help="disable the sandbox-scale driver shortcuts "
+                         "(broadcast verify side, driver-side CC) and run "
+                         "the plan a large cluster runs: shuffle-join "
+                         "verification + distributed pointer-jump CC. "
+                         "Output is identical (equivalence-tested); near "
+                         "the ~1M-row crossover the shortcuts' serial "
+                         "cost dominates a two-cluster-size scaling "
+                         "measurement (see config.DedupConfig)")
     ap.add_argument("--scale-probe", type=int, default=0, metavar="N",
                     help="after the output write, run N extra timed "
                          "steady-state passes of the pipeline (noop sink) "
@@ -60,23 +69,32 @@ def main() -> None:
         ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    from dataclasses import replace
+
+    from datasketches_rust_spark.config import DedupConfig
     from datasketches_rust_spark.operators.dedup import (
         near_dup_multimodal_clusters,
         near_dup_multimodal_clusters_from_path,
         resumable_near_dup_pipeline,
     )
 
+    cfg = DedupConfig()
+    if args.at_scale_plan:
+        cfg = replace(cfg, cc_driver_max_edges=0, broadcast_verify_max_rows=0)
+
     t0 = time.perf_counter()
     if args.workdir:
         df = spark.read.parquet(args.input)
         out = resumable_near_dup_pipeline(
-            spark, df, "image_id", "caption", args.workdir
+            spark, df, "image_id", "caption", args.workdir, cfg
         )
     elif args.read_path == "direct":
-        out = near_dup_multimodal_clusters_from_path(spark, args.input)
+        out = near_dup_multimodal_clusters_from_path(spark, args.input, cfg)
     else:
         df = spark.read.parquet(args.input)
-        out = near_dup_multimodal_clusters(df, use_pixel_simhash=True)
+        out = near_dup_multimodal_clusters(
+            df, cfg=cfg, use_pixel_simhash=True
+        )
     # pipelines label the generic id column `id`; the job's documented
     # output contract is the input_hint key name
     if "id" in out.columns and "image_id" not in out.columns:
@@ -95,10 +113,13 @@ def main() -> None:
         for _ in range(args.scale_probe):
             t0 = time.perf_counter()
             if args.read_path == "direct":
-                probe = near_dup_multimodal_clusters_from_path(spark, args.input)
+                probe = near_dup_multimodal_clusters_from_path(
+                    spark, args.input, cfg
+                )
             else:
                 probe = near_dup_multimodal_clusters(
-                    spark.read.parquet(args.input), use_pixel_simhash=True
+                    spark.read.parquet(args.input), cfg=cfg,
+                    use_pixel_simhash=True
                 )
             probe.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)

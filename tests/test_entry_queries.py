@@ -140,6 +140,41 @@ def test_from_path_pipeline_matches_dataframe_pipeline(spark, tmp_path):
     assert (a["cluster_id"] == b["cluster_id"]).all()
 
 
+def test_at_scale_plan_matches_default_plan(spark, tmp_path):
+    """cc_driver_max_edges=0 + broadcast_verify_max_rows=0 (the
+    run_dedup.py --at-scale-plan config: shuffle-join verification +
+    distributed pointer-jump CC — the plan a large cluster runs) must
+    yield identical cluster assignments to the default sandbox-scale
+    shortcuts (broadcast verify side + driver-side CC)."""
+    from dataclasses import replace
+
+    from datasketches_rust_spark.config import DedupConfig
+    from datasketches_rust_spark.operators.dedup import (
+        near_dup_multimodal_clusters_from_path,
+    )
+    from datasketches_rust_spark.sources.imagegen import generate_image_caption_df
+
+    path = str(tmp_path / "imgs_atscale")
+    generate_image_caption_df(spark, 150, seed=13, partitions=5).write.parquet(path)
+    default = (
+        near_dup_multimodal_clusters_from_path(spark, path)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    at_scale_cfg = replace(
+        DedupConfig(), cc_driver_max_edges=0, broadcast_verify_max_rows=0
+    )
+    at_scale = (
+        near_dup_multimodal_clusters_from_path(spark, path, at_scale_cfg)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert (default["id"] == at_scale["id"]).all()
+    assert (default["cluster_id"] == at_scale["cluster_id"]).all()
+
+
 def test_signatures_direct_uri_and_chunked_read(spark, tmp_path):
     """The direct-read path yields identical rows through (a) a
     file:// URI resolved via pyarrow.fs (the object-store code path —

@@ -93,7 +93,7 @@ _STEADY_RE = re.compile(r"steady-state pipeline pass: ([0-9.]+)s")
 
 def _submit_run(
     submit: str, zip_path: str, cpus: int, input_path: str, out_dir: str,
-    scale_probe: int = 2,
+    scale_probe: int = 2, at_scale_plan: bool = False,
 ) -> tuple[float, float, int]:
     """One spark-submit invocation.
 
@@ -130,7 +130,7 @@ def _submit_run(
             "--output", out_dir,
             "--read-path", "direct",
             "--scale-probe", str(scale_probe),
-        ],
+        ] + (["--at-scale-plan"] if at_scale_plan else []),
         capture_output=True,
         text=True,
         timeout=3600,
@@ -153,6 +153,10 @@ def main() -> None:
     ap.add_argument("--gate-wait-s", type=float, default=240.0,
                     help="max seconds to wait for a clean fault probe "
                          "before each timed run (0 disables gating)")
+    ap.add_argument("--at-scale-plan", action="store_true",
+                    help="run the job with --at-scale-plan (shuffle-join "
+                         "verify + distributed CC — the plan a large "
+                         "cluster runs; see jobs/run_dedup.py)")
     ap.add_argument("--only-level", type=int, default=None,
                     help="run a single level once and print its leg "
                          "(sec + weather) — for retrying one leg until "
@@ -187,7 +191,8 @@ def main() -> None:
                 time.sleep(15)
                 w0 = (bench._host_fault_probe(), bench._host_cpu_probe())
             cold, steady, nrows = _submit_run(
-                submit, zip_path, level, input_path, out_dir
+                submit, zip_path, level, input_path, out_dir,
+                at_scale_plan=args.at_scale_plan,
             )
             print(json.dumps({
                 "metric": "spark_submit_pipeline_leg",
@@ -210,7 +215,8 @@ def main() -> None:
                     time.sleep(15)
                     w0 = (bench._host_fault_probe(), bench._host_cpu_probe())
                 cold, steady, nrows = _submit_run(
-                    submit, zip_path, level, input_path, out_dir
+                    submit, zip_path, level, input_path, out_dir,
+                    at_scale_plan=args.at_scale_plan,
                 )
                 rows_seen.add(nrows)
                 pair[str(level)] = {
@@ -238,6 +244,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "spark_submit_pipeline_scaling",
+                "at_scale_plan": args.at_scale_plan,
                 "rows": args.rows,
                 "levels": [lo, hi],
                 "pipeline_sec": {str(lo): t_lo, str(hi): t_hi},
